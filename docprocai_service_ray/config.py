@@ -1,0 +1,53 @@
+"""Pipeline configuration.
+
+Single dataclass passed to stages via actor constructor args — the analog of
+the reference's global YAML config dict (reference: config/__init__.py:3-4,
+config.yaml), but explicit and immutable (SURVEY.md §2.9 M14).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class KGConfig:
+    """Knobs for the KG-construction pipeline.
+
+    Defaults are tuned for the single-node sandbox (32 CPUs / 128 GiB); the
+    partitioning story (buckets, salts, batch sizes) is what carries to a
+    multi-node cluster.
+    """
+
+    # ---- embedding space (mentions / alias dict / semantic search) ----
+    embedding_dim: int = 64          # reference uses 1024 (config.yaml:38); 64 keeps tests fast
+    # ---- MinHash-LSH canonicalization (SURVEY.md §2.6 W2) ----
+    minhash_perms: int = 32          # signature length
+    lsh_bands: int = 16              # bands × rows_per_band == minhash_perms;
+                                     # 16×2 → P(candidate) ≈ 1 at jaccard ≥ 0.7
+                                     # (8×4 missed ~8% of true pairs); the jaccard
+                                     # verify step keeps precision
+    shingle_k: int = 3               # char n-gram size over normalized surfaces
+    jaccard_threshold: float = 0.68  # verify-step threshold for candidate pairs
+                                     # (above cross-entity max ~0.63 on the synthetic
+                                     # inventory, below same-entity variant ~0.75)
+    lsh_salt_buckets: int = 8        # salt for head-surface band keys (§4.3 skew defusal)
+    max_unionfind_rounds: int = 12   # label propagation bound (~log n expected)
+    # ---- entity linking ----
+    link_threshold: float = 0.40     # cutoff on 0.5*cos+0.5*prior — structural analog of
+                                     # the reference's 0.7 similarity cutoff
+                                     # (service/DocProcAiService.py:755, config.yaml:50)
+    # ---- graph materialization ----
+    output_buckets: int = 16         # hash(subject_id) % buckets partitions the triple output
+    prov_cap: int = 20               # max provenance entries kept per triple (overflow counted,
+                                     # never silently dropped — manifest records the cap)
+    # ---- execution ----
+    extract_batch_size: int = 256    # html rows per batch (rows are KB..MB: keep batches small)
+    triple_batch_size: int = 1024
+    embed_batch_size: int = 2048
+    actor_pool_size: int = 4         # concurrency for stateful stages in tests; bench overrides
+    # ---- corpus generation (synthetic web_pages; FIXTURES.md §1) ----
+    seed: int = 42
+
+
+DEFAULT_CONFIG = KGConfig()

@@ -1,0 +1,38 @@
+"""Shared fixtures. Ray is initialised ONCE per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus():
+    """300 deterministic synthetic pages + alias dict (driver-side lists)."""
+    from docprocai_service_ray.sources.webgen import alias_dict_table, gen_page
+
+    pages = [gen_page(42, r) for r in range(300)]
+    alias = alias_dict_table(42, 64)
+    return pages, alias
+
+
+@pytest.fixture(scope="session")
+def oracle_result(small_corpus):
+    from docprocai_service_ray.config import KGConfig
+    from docprocai_service_ray.oracle.scalar import run_oracle
+
+    pages, alias = small_corpus
+    return run_oracle(pages, alias, KGConfig())
