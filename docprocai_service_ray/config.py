@@ -33,6 +33,9 @@ class KGConfig:
                                      # inventory, below same-entity variant ~0.75)
     lsh_salt_buckets: int = 8        # salt for head-surface band keys (§4.3 skew defusal)
     max_unionfind_rounds: int = 12   # label propagation bound (~log n expected)
+    driver_unionfind_max: int = 2_000_000  # edge count below which union-find runs
+                                     # on the driver (candidate set provably small);
+                                     # above it, distributed min-label propagation
     # ---- entity linking ----
     link_threshold: float = 0.40     # cutoff on 0.5*cos+0.5*prior — structural analog of
                                      # the reference's 0.7 similarity cutoff

@@ -1,0 +1,99 @@
+"""End-to-end KG construction pipeline (SURVEY.md §3.1 target shape).
+
+``read_parquet(web_pages)`` → extract (stateless) → segment (stateless) →
+triples_raw (actor pool) → mentions (actor pool + broadcast dict) →
+entity_map (LSH shuffles + union-find) → canonical triples (salted
+two-phase groupby) → bucketed Parquet + manifest.
+
+One ``run_kg()`` call replaces the reference's event queue + background
+thread (service/DocProcAiService.py:72-80,694-707) entirely; Ray Data's
+streaming executor provides the pipelining, backpressure and retries the
+reference hand-rolled (SURVEY.md §4.2).
+
+With ``out_dir`` set, every stage checkpoints to Parquet with a manifest
+row and a re-run resumes from the last DONE stage (§4.4 / state/manifest).
+Without it, stages chain lazily and stream end-to-end.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, KGConfig
+from ..stages.canonicalize import build_entity_map
+from ..stages.extract import build_docs
+from ..stages.materialize import build_triples, entity_map_to_dict
+from ..stages.mention import build_mentions
+from ..stages.segment import build_sentences
+from ..stages.triple_extract import build_triples_raw
+from ..state.manifest import checkpointed, write_stage
+
+
+def read_web_pages(path: str):
+    """Prune at the read: the `text` hint column never leaves storage."""
+    return rd.read_parquet(path, columns=["url", "warc_ts", "html", "lang"])
+
+
+def run_kg(
+    pages_path: str,
+    alias_table: pa.Table,
+    cfg: KGConfig = DEFAULT_CONFIG,
+    out_dir: str | None = None,
+    resume: bool = True,
+    with_mentions: bool = False,
+) -> dict:
+    """Run the full pipeline; returns dict of stage Datasets.
+
+    ``alias_table`` is the small side: broadcast once via ray.put and read
+    inside actor __init__ (never re-shipped per batch).
+    """
+    alias_ref = ray.put(alias_table)
+
+    docs = checkpointed(
+        lambda: build_docs(read_web_pages(pages_path), cfg), out_dir, "docs", resume
+    )
+    sentences = checkpointed(
+        lambda: build_sentences(docs, cfg), out_dir, "sentences", resume
+    )
+    triples_raw = checkpointed(
+        lambda: build_triples_raw(sentences, cfg), out_dir, "triples_raw", resume
+    )
+    out: dict = {"docs": docs, "sentences": sentences, "triples_raw": triples_raw}
+
+    if with_mentions:
+        out["mentions"] = checkpointed(
+            lambda: build_mentions(triples_raw, alias_ref, cfg),
+            out_dir,
+            "mentions",
+            resume,
+        )
+
+    entity_map = checkpointed(
+        lambda: build_entity_map(triples_raw, alias_ref, cfg),
+        out_dir,
+        "entity_map",
+        resume,
+    )
+    out["entity_map"] = entity_map
+
+    emap_ref = ray.put(entity_map_to_dict(entity_map))
+    triples = build_triples(triples_raw, emap_ref, cfg)
+    if out_dir is not None:
+        # final output is partitioned by subject bucket (resumable layout)
+        from ..state.manifest import is_stage_done, stage_output_dir
+
+        if resume and is_stage_done(out_dir, "triples"):
+            triples = rd.read_parquet(stage_output_dir(out_dir, "triples"))
+        else:
+            write_stage(
+                triples,
+                out_dir,
+                "triples",
+                extra={"partitioned_by": "bucket"},
+                write_kwargs={"partition_cols": ["bucket"]},
+            )
+            triples = rd.read_parquet(stage_output_dir(out_dir, "triples"))
+    out["triples"] = triples
+    return out

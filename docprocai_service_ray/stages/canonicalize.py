@@ -1,0 +1,267 @@
+"""entity_map stage: MinHash-LSH surface clustering + union-find merge
+(the W2 analog — replaces the reference's full-corpus BERTopic refit after
+every ingest, fileextractlib/TopicModel.py:28-109 +
+service/DocProcAiService.py:186-219, which is a global single-node fit).
+
+Shape (SURVEY.md §4.3 "canonicalization shuffle"):
+
+1. mention surfaces → DISTINCT surfaces. Two-phase: per-batch set() inside
+   ``map_batches`` (a head surface with 10^6 mentions leaves each batch as
+   one row — this is the skew defusal), then ``groupby(surface)`` first.
+2. alias-link edges: surface ↔ qid node (broadcast dict lookup, no shuffle).
+3. LSH: surface → 16 (band_key, surface) rows → ``groupby(band_key)`` emits
+   candidate pairs (all-pairs per bucket, capped to a connectivity chain for
+   oversized buckets) → jaccard verify → similar-surface edges.
+4. connected components: driver union-find when the edge set is provably
+   small (≤ cfg.driver_unionfind_max — edges are O(distinct surfaces), many
+   orders below corpus size), else distributed min-label propagation
+   (bounded rounds, deterministic min-label tie rule). Both paths produce
+   identical components; tests assert it.
+5. per component: canonical_id = min qid member, else content-derived C-id;
+   emit (surface, canonical_id, cluster_size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..config import KGConfig
+from ..functions.canon import (
+    PAIR_CAP,
+    UnionFind,
+    bucket_candidate_pairs,
+    canonical_id_for_component,
+    is_qid_node,
+    qid_node,
+    surface_bands,
+    verify_pair,
+)
+from ..functions.hashing import minhash_params
+from ..functions.linking import best_candidate, build_alias_index
+from ..state.joins import hash_join
+
+ENTITY_MAP_SCHEMA = pa.schema(
+    [
+        pa.field("surface", pa.string()),
+        pa.field("canonical_id", pa.string()),
+        pa.field("cluster_size", pa.int64()),
+    ]
+)
+
+
+def distinct_surfaces(triples_raw_ds, cfg: KGConfig):
+    """Distinct mention surfaces; per-batch partial distinct before the
+    groupby so head surfaces shuffle as one row per batch, not per mention."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = set(batch["subj"].to_pylist()) | set(batch["obj"].to_pylist())
+        return pa.Table.from_pydict({"surface": sorted(s)})
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.iloc[0:1]
+
+    return (
+        triples_raw_ds.select_columns(["subj", "obj"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("surface")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+class _LinkEdges:
+    """surface → (surface, qid-node) edge rows for dict-linked surfaces."""
+
+    def __init__(self, alias_ref: ray.ObjectRef, cfg: KGConfig):
+        self.index = build_alias_index(ray.get(alias_ref))
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for s in batch["surface"].to_pylist():
+            cand = best_candidate(s, self.index, self.cfg.embedding_dim)
+            if cand is not None and cand[1] >= self.cfg.link_threshold:
+                src.append(s)
+                dst.append(qid_node(cand[0]))
+        return pa.Table.from_pydict({"src": src, "dst": dst})
+
+
+class _BandRows:
+    """surface → (band_key, surface) rows; MinHash params built once/actor."""
+
+    def __init__(self, cfg: KGConfig):
+        self.a, self.b = minhash_params(cfg.minhash_perms, cfg.seed)
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, surfs = [], []
+        for s in batch["surface"].to_pylist():
+            for k in surface_bands(s, self.a, self.b, self.cfg.shingle_k, self.cfg.lsh_bands):
+                keys.append(np.uint64(k))
+                surfs.append(s)
+        return pa.Table.from_pydict(
+            {"band_key": pa.array(keys, pa.uint64()), "surface": pa.array(surfs)}
+        )
+
+
+def lsh_edges(surfaces_ds, cfg: KGConfig):
+    banded = surfaces_ds.map_batches(
+        _BandRows,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        concurrency=(1, cfg.actor_pool_size),
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out = [
+            p
+            for p in bucket_candidate_pairs(group["surface"].tolist(), PAIR_CAP)
+            if verify_pair(p[0], p[1], cfg.shingle_k, cfg.jaccard_threshold)
+        ]
+        return pd.DataFrame({"src": [p[0] for p in out], "dst": [p[1] for p in out]})
+
+    # a pair found in several bands is deduped here (normalized src<dst key)
+    def dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group.iloc[0:1]
+
+    return (
+        banded.groupby("band_key")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def _components_driver(edge_rows: list[dict], all_surfaces: list[str]) -> dict[str, str]:
+    uf = UnionFind()
+    for s in all_surfaces:
+        uf.find(s)
+    for e in sorted(edge_rows, key=lambda e: (e["src"], e["dst"])):
+        uf.union(e["src"], e["dst"])
+    return {n: uf.find(n) for n in uf.parent}
+
+
+def _to_arrow(ds):
+    """Normalize block type: unioning pandas-block and arrow-block datasets
+    breaks downstream sort/groupby boundary sampling."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def _components_distributed(edges_ds, surfaces_ds, cfg: KGConfig):
+    """Iterated min-label propagation over Datasets (bounded rounds).
+
+    labels(node → label) starts as identity; each round joins neighbour
+    labels in via a partitioned hash join and takes the min per node.
+    Converges in O(component diameter) rounds; entity clusters are shallow.
+    Returns a materialized Dataset (node, label).
+    """
+    import ray.data as rd
+
+    adj = edges_ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "node": pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()]),
+                "nbr": pa.concat_arrays([t["dst"].combine_chunks(), t["src"].combine_chunks()]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    nodes = (
+        _to_arrow(surfaces_ds)
+        .map_batches(
+            lambda t: pa.Table.from_pydict({"node": t["surface"]}),
+            batch_format="pyarrow",
+        )
+        .union(adj.select_columns(["node"]))
+        .groupby("node")
+        .map_groups(lambda g: g.iloc[0:1], batch_format="pandas")
+    )
+    labels = nodes.map_batches(
+        lambda t: pa.Table.from_pydict({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _sig(lds) -> int:
+        from ..functions.hashing import stable_u64
+
+        def h(batch: pa.Table) -> pa.Table:
+            tot = sum(
+                stable_u64(n + "\x1f" + l)
+                for n, l in zip(batch["node"].to_pylist(), batch["label"].to_pylist())
+            )
+            return pa.Table.from_pydict({"h": [tot % (1 << 63)]})
+
+        parts = lds.map_batches(h, batch_format="pyarrow").take_all()
+        return sum(p["h"] for p in parts) % (1 << 63)
+
+    sig = _sig(labels)
+    for _ in range(cfg.max_unionfind_rounds):
+        nbr_labels = labels.map_batches(
+            lambda t: pa.Table.from_pydict({"nbr": t["node"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        msgs = hash_join(adj, nbr_labels, on="nbr").map_batches(
+            lambda df: pa.Table.from_pydict(
+                {"node": df["node"].tolist(), "label": df["label"].tolist()}
+            ),
+            batch_format="pandas",
+        )
+        new_labels = _to_arrow(
+            labels.union(msgs)
+            .groupby("node")
+            .map_groups(
+                lambda g: pd.DataFrame(
+                    {"node": [g["node"].iloc[0]], "label": [g["label"].min()]}
+                ),
+                batch_format="pandas",
+            )
+        ).materialize()
+        new_sig = _sig(new_labels)
+        labels = new_labels
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return labels
+
+
+def build_entity_map(triples_raw_ds, alias_ref: ray.ObjectRef, cfg: KGConfig):
+    """triples_raw → entity_map Dataset (surface, canonical_id, cluster_size)."""
+    import ray.data as rd
+
+    surfaces = distinct_surfaces(triples_raw_ds, cfg).materialize()
+    link_e = surfaces.map_batches(
+        _LinkEdges,
+        fn_constructor_kwargs={"alias_ref": alias_ref, "cfg": cfg},
+        batch_format="pyarrow",
+        concurrency=(1, cfg.actor_pool_size),
+    )
+    edges = link_e.union(_to_arrow(lsh_edges(surfaces, cfg))).materialize()
+
+    n_edges = edges.count()
+    if n_edges <= cfg.driver_unionfind_max:
+        # candidate set provably small → driver union-find (SURVEY.md §2.6 W2)
+        all_surfaces = [r["surface"] for r in surfaces.take_all()]
+        labels_map = _components_driver(edges.take_all(), all_surfaces)
+        lt = pa.Table.from_pydict(
+            {"node": list(labels_map), "label": [labels_map[k] for k in labels_map]}
+        )
+        labels = rd.from_arrow(lt)
+    else:
+        labels = _components_distributed(edges, surfaces, cfg)
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        members = group["node"].tolist()
+        cid = canonical_id_for_component(members)
+        surfs = [m for m in members if not is_qid_node(m)]
+        return pd.DataFrame(
+            {
+                "surface": surfs,
+                "canonical_id": [cid] * len(surfs),
+                "cluster_size": [len(surfs)] * len(surfs),
+            }
+        )
+
+    return labels.groupby("label").map_groups(assign, batch_format="pandas")

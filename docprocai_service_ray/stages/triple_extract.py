@@ -1,0 +1,75 @@
+"""triples_raw stage: sentences → (subj, pred, obj) rows (ST4 analog).
+
+Actor-pool ``map_batches``: the compiled predicate pattern is per-actor
+state built once in ``__init__`` (the reference reloads its model per task
+— TranscriptGenerator.py:29-30 via VideoProcessor.py:40 — exactly the
+anti-pattern actor pools fix; SURVEY.md §2.3 ST1/ST4).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import KGConfig
+from ..functions.triples import compile_pattern, extract_triples
+
+TRIPLES_RAW_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("sent_id", pa.int32()),
+        pa.field("subj", pa.string()),
+        pa.field("pred", pa.string()),
+        pa.field("obj", pa.string()),
+        pa.field("subj_start", pa.int32()),
+        pa.field("subj_len", pa.int32()),
+        pa.field("obj_start", pa.int32()),
+        pa.field("obj_len", pa.int32()),
+        pa.field("conf", pa.float32()),
+    ]
+)
+
+
+class TripleExtractor:
+    """Callable class → Ray Data actor pool; pattern compiled once/actor."""
+
+    def __init__(self, cfg: KGConfig):
+        self.pattern = compile_pattern()
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        tss = batch["warc_ts"].to_pylist()
+        sids = batch["sent_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        cols: dict[str, list] = {n: [] for n in TRIPLES_RAW_SCHEMA.names}
+        for url, ts, sid, text in zip(urls, tss, sids, texts):
+            for subj, pred, obj, ss, sl, os_, ol, conf in extract_triples(
+                text, self.pattern
+            ):
+                cols["url"].append(url)
+                cols["warc_ts"].append(ts)
+                cols["sent_id"].append(sid)
+                cols["subj"].append(subj)
+                cols["pred"].append(pred)
+                cols["obj"].append(obj)
+                cols["subj_start"].append(ss)
+                cols["subj_len"].append(sl)
+                cols["obj_start"].append(os_)
+                cols["obj_len"].append(ol)
+                cols["conf"].append(conf)
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in TRIPLES_RAW_SCHEMA],
+            schema=TRIPLES_RAW_SCHEMA,
+        )
+
+
+def build_triples_raw(sentences_ds, cfg: KGConfig):
+    return sentences_ds.map_batches(
+        TripleExtractor,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.triple_batch_size,
+        concurrency=(1, cfg.actor_pool_size),
+        num_cpus=1,
+    )

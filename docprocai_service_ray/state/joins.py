@@ -1,0 +1,123 @@
+"""Join / lookup strategies (SURVEY.md §2.4 J1–J7).
+
+Three tiers, chosen by the *size of the small side*, never by row count of
+the big side:
+
+- ``broadcast_ref`` + ``lookup inside map_batches``: the small side
+  (alias dictionary, entity map, dup-url winners) is ``ray.put`` ONCE and
+  read in each actor's ``__init__`` / each task's first batch — never
+  re-shipped per batch. This is the ST7 pattern (SURVEY.md §2.3) and
+  replaces the reference's per-query candidate fetch
+  (service/DocProcAiService.py:670-680).
+- ``semi_join_filter`` / ``anti_join_filter``: broadcast key set, filter
+  inside map_batches (J4/J5 analogs, SegmentDbConnector.py:235-252 and
+  DocProcAiService.py:616-637).
+- ``hash_join``: both sides large → explicit partitioned hash join:
+  add ``bucket = hash(key) % B`` to both sides, union with a side tag,
+  ``groupby(bucket)`` co-locates, pandas merge per bucket. Document B;
+  skewed keys should be pre-salted by the caller.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.hashing import stable_u64
+
+
+def broadcast_ref(obj: Any) -> ray.ObjectRef:
+    """Put a small side into the object store once (zero-copy reads)."""
+    return ray.put(obj)
+
+
+def semi_join_filter(ds, column: str, keys_ref: ray.ObjectRef):
+    """Keep rows whose ``column`` value is in the broadcast key set."""
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch[column], pa.array(list(keys))))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def anti_join_filter(ds, column: str, keys_ref: ray.ObjectRef):
+    """Drop rows whose ``column`` value is in the broadcast key set."""
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.invert(pc.is_in(batch[column], pa.array(list(keys))))
+        )
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def _bucket_of(values: Iterable, buckets: int, seed: int) -> list[int]:
+    return [stable_u64(str(v), seed) % buckets for v in values]
+
+
+def hash_join(
+    left,
+    right,
+    on: str | list[str],
+    *,
+    buckets: int = 32,
+    how: str = "inner",
+    seed: int = 0,
+    suffixes: tuple[str, str] = ("", "_r"),
+):
+    """Partitioned hash join of two Datasets on ``on``.
+
+    Both sides get a ``__bucket`` column from a stable hash of the key,
+    are unioned with a ``__side`` tag, and ``groupby(__bucket)`` brings
+    matching keys together; a pandas merge runs per bucket. One all-to-all
+    exchange total (the groupby); no driver materialization.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l_cols = left.schema().names
+    r_cols = right.schema().names
+    # overlapping non-key columns on the right get the suffix up front so the
+    # two sides can share one unioned schema
+    rename = {c: c + suffixes[1] for c in r_cols if c in l_cols and c not in keys}
+    r_cols_final = [rename.get(c, c) for c in r_cols]
+    r_only = [c for c in r_cols_final if c not in l_cols]
+    superset = l_cols + r_only
+
+    def _tag(side: str):
+        def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            if side == "r" and rename:
+                batch = batch.rename(columns=rename)
+            key0 = batch[keys[0]].astype(str)
+            for k in keys[1:]:
+                key0 = key0 + "\x1f" + batch[k].astype(str)
+            for c in superset:
+                if c not in batch.columns:
+                    batch[c] = None
+            batch = batch[superset]
+            batch["__bucket"] = _bucket_of(key0.tolist(), buckets, seed)
+            batch["__side"] = side
+            return batch
+
+        return _fn
+
+    lt = left.map_batches(_tag("l"), batch_format="pandas")
+    rt = right.map_batches(_tag("r"), batch_format="pandas")
+    both = lt.union(rt)
+    l_side_cols = l_cols
+    r_side_cols = keys + r_only
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == "l"][l_side_cols]
+        r = group[group["__side"] == "r"][r_side_cols]
+        return l.merge(r, on=keys, how=how)
+
+    return both.groupby("__bucket").map_groups(_merge, batch_format="pandas")
