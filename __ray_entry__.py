@@ -1,44 +1,207 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship KG-construction pipeline over a deterministic
+  synthetic 500-page web_pages corpus (the BASELINE.json input_hint shape);
+  returns the canonical triples Dataset.
+- ``queries()``: one entry per implemented operator family (SURVEY.md §2 +
+  training-data ops); each takes sf_dir.
+- ``oracle_sql()``: DuckDB equivalents for the SQL-expressible queries
+  (identical column names). KG / LSH / ANN queries are non-SQL-expressible
+  → rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+from docprocai_service_ray.config import KGConfig
+from docprocai_service_ray.pipelines.benchqueries import QUERIES as _BENCH_QUERIES
+from docprocai_service_ray.pipelines.benchqueries import SQL as _BENCH_SQL
+
+_CFG = KGConfig()
+
+
+def _kg_run(sf_dir: str) -> dict:
+    """Synthetic KG corpus sized by the sf in ``sf_dir``; stage outputs are
+    checkpointed under /tmp so the driver's repeated query calls resume."""
+    from docprocai_service_ray.pipelines.kg import run_kg
+    from docprocai_service_ray.sources.webgen import alias_dict_table, ensure_corpus
+
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.001
+    n = max(300, int(sf * 200_000))
+    corpus = ensure_corpus(n, _CFG.seed, _CFG.embedding_dim)
+    out = f"/tmp/raykg_out/n{n}_s{_CFG.seed}"
+    return run_kg(
+        os.path.join(corpus, "web_pages"),
+        alias_dict_table(_CFG.seed, _CFG.embedding_dim),
+        _CFG,
+        out_dir=out,
+        resume=True,
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; driver checks rows >= 0."""
+    res = _kg_run("/root/testdata/sf0.001")
+    return res["triples"].select_columns(["subject_id", "pred", "object_id", "weight"])
+
+
+# ------------------------- KG queries (rows-only; non-SQL-expressible) ------
+
+def _kg_docs(sf_dir: str):
+    return _kg_run(sf_dir)["docs"].select_columns(["url", "lang", "n_chars"])
+
+
+def _kg_sentences(sf_dir: str):
+    return _kg_run(sf_dir)["sentences"].select_columns(
+        ["url", "sent_id", "char_start", "char_end"]
+    )
+
+
+def _kg_triples(sf_dir: str):
+    return _kg_run(sf_dir)["triples"].select_columns(
+        ["subject_id", "pred", "object_id", "weight"]
+    )
+
+
+def _kg_entity_map(sf_dir: str):
+    return _kg_run(sf_dir)["entity_map"]
+
+
+def _kg_semantic_search(sf_dir: str):
+    from docprocai_service_ray.pipelines.queries import semantic_search
+
+    res = _kg_run(sf_dir)
+    return semantic_search(
+        res["sentences"], "Alice Turner founded Blue River Labs", k=10, cfg=_CFG
+    )
+
+
+def _near_dup_pages_minhash(sf_dir: str):
+    """MinHash-LSH near-dup over extracted page text (the planted dup-html
+    pairs under distinct urls must surface here)."""
+    from docprocai_service_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = _kg_run(sf_dir)["docs"].select_columns(["url", "text"])
+    return minhash_lsh_pairs(docs, "url", "text", threshold=0.9, seed=_CFG.seed)
+
+
+def _near_dup_pages_simhash(sf_dir: str):
+    from docprocai_service_ray.stages.dedup import simhash_pairs
+
+    # hamming 0 = identical bigram-simhash: the synthetic filler pages are
+    # legitimately near-identical, so looser radii explode the pair count
+    docs = _kg_run(sf_dir)["docs"].select_columns(["url", "text"])
+    return simhash_pairs(docs, "url", "text", max_hamming=0)
+
+
+def _embedding_near_dup(sf_dir: str):
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.similarity import embedding_near_dup_pairs
+
+    # the driver embeddings are near-orthogonal random vectors (max pairwise
+    # cosine ≈ 0.51): 0.4 surfaces the true upper tail while a dup-free
+    # corpus still yields few pairs
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, dim=64, threshold=0.4, seed=_CFG.seed)
+
+
+def _ann_lsh_topk(sf_dir: str):
+    """Approximate NN (hyperplane-LSH bucketed) — the scale path next to
+    brute-force knn_topk_cosine."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq, _query_vec
+    from docprocai_service_ray.stages.similarity import lsh_topk
+
+    q = _query_vec(sf_dir)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    top = lsh_topk(ds, q, 10, dim=64, seed=_CFG.seed, extra_cols=("label",))
+    return top.map_batches(
+        lambda df: df[["vec_id", "label"]], batch_format="pandas"
+    )
+
+
+def _lang_id_docs(sf_dir: str):
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.textstats import lang_id
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang_guess": [g["lang_guess"].iloc[0]],
+            "n": [np.int64(len(g))],
+        })
+
+    return (
+        ds.map_batches(
+            lambda df: pd.DataFrame({"lang_guess": lang_id(df["text"])}),
+            batch_format="pandas",
+        )
+        .groupby("lang_guess")
+        .map_groups(per_lang, batch_format="pandas")
+    )
+
+
+def _quality_by_source(sf_dir: str):
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.textstats import quality_score, token_counts
+
+    ds = _pq(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": df["source"],
+            "q": quality_score(df["text"]),
+            "tok": token_counts(df["text"]),
+        }).groupby("source", as_index=False).agg(
+            n=("q", "size"), qs=("q", "sum"), toks=("tok", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_docs": [np.int64(n)],
+            "avg_quality": [round(float(g["qs"].sum()) / n, 4)],
+            "total_tokens": [np.int64(g["toks"].sum())],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = dict(_BENCH_QUERIES)
+    q.update(
+        {
+            "kg_docs": _kg_docs,
+            "kg_sentences": _kg_sentences,
+            "kg_triples": _kg_triples,
+            "kg_entity_map": _kg_entity_map,
+            "kg_semantic_search": _kg_semantic_search,
+            "near_dup_pages_minhash": _near_dup_pages_minhash,
+            "near_dup_pages_simhash": _near_dup_pages_simhash,
+            "embedding_near_dup": _embedding_near_dup,
+            "ann_lsh_topk": _ann_lsh_topk,
+            "lang_id_docs": _lang_id_docs,
+            "quality_by_source": _quality_by_source,
+        }
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_BENCH_SQL)

@@ -36,12 +36,22 @@ class KGConfig:
     driver_unionfind_max: int = 2_000_000  # edge count below which union-find runs
                                      # on the driver (candidate set provably small);
                                      # above it, distributed min-label propagation
+    driver_canon_max: int = 200_000  # distinct-surface count below which the whole
+                                     # LSH+union-find runs on the driver with the
+                                     # same kernels (vocab-sized small side; the
+                                     # banding shuffle only pays off beyond this)
+    driver_dedup_max: int = 5_000_000  # docs row count below which the url-dedup
+                                     # winners pass collects the (url, ts, hash)
+                                     # projection instead of shuffling it
     # ---- entity linking ----
     link_threshold: float = 0.40     # cutoff on 0.5*cos+0.5*prior — structural analog of
                                      # the reference's 0.7 similarity cutoff
                                      # (service/DocProcAiService.py:755, config.yaml:50)
     # ---- graph materialization ----
     output_buckets: int = 16         # hash(subject_id) % buckets partitions the triple output
+    tree_merge_max_rows: int = 4_000_000  # post-tree-level partial row count below
+                                     # which the final triple merge is a small grouped
+                                     # sort; above it, full hash exchange on `part`
     prov_cap: int = 20               # max provenance entries kept per triple (overflow counted,
                                      # never silently dropped — manifest records the cap)
     # ---- execution ----

@@ -107,7 +107,10 @@ class UnionFind:
         return out
 
 
-QID_NODE_PREFIX = "\x00Q:"  # sorts before any real surface → qid roots win ties
+# Sorts before any real surface (\x01 < every printable char) so qid roots
+# win min-label ties. NEVER use "\x00" here: pandas groupby/hash use
+# C-string semantics and truncate at NUL, collapsing distinct qid nodes.
+QID_NODE_PREFIX = "\x01Q:"
 
 
 def qid_node(qid: str) -> str:

@@ -20,6 +20,7 @@ from ..config import KGConfig
 from ..functions.canon import (
     UnionFind,
     canonical_id_for_component,
+    is_qid_node,
     lsh_candidate_edges,
     qid_node,
 )
@@ -116,7 +117,7 @@ def oracle_entity_map(surfaces: set[str], alias_table: pa.Table, cfg: KGConfig) 
     for _, members in uf.components().items():
         cid = canonical_id_for_component(members)
         for m in members:
-            if not m.startswith("\x00"):
+            if not is_qid_node(m):
                 mapping[m] = cid
     return mapping
 

@@ -1,0 +1,570 @@
+"""Query surface over the driver testdata tables + the synthetic KG corpus.
+
+Every function here takes ``sf_dir`` and returns a Dataset / DataFrame /
+Table; ``SQL`` holds the DuckDB oracle for each SQL-expressible query with
+IDENTICAL output column names (the driver hashes values after sorting
+columns by name). Float aggregate outputs are ROUNDed the same way on both
+sides so summation-order ulps can't flip the value hash.
+
+Operator coverage map (SURVEY.md §2): pricing_summary A-class partial+final
+aggregation; topk_orders W1; mktsegment_revenue J-broadcast;
+large_part_lineitems J4 semi-join; idle_customers J5 anti-join;
+customer_min_order A1; hourly_events §2.8 window; union_sources W4;
+orders_lineitem_join partitioned hash join; asof_events_orders custom as-of
+operator; exact_dedup/token/fingerprint/knn = training-data ops.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..config import KGConfig
+from ..stages.dedup import exact_dedup
+from ..stages.similarity import brute_force_topk
+from ..stages.textstats import fingerprint_md5, token_counts
+from ..state.joins import anti_join_filter, asof_join, hash_join, semi_join_filter
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _arrow(ds):
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- aggregates
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with per-batch partial combine
+    before the (tiny) global groupby — the pre-aggregation pattern that
+    keeps the shuffle at O(groups × batches), not O(rows)."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(disc_price=df["l_extendedprice"] * (1 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["count_order"].sum())
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "l_linestatus": [g["l_linestatus"].iloc[0]],
+            "sum_qty": [round(float(g["sum_qty"].sum()), 2)],
+            "sum_base_price": [round(float(g["sum_base_price"].sum()), 2)],
+            "sum_disc_price": [round(float(g["sum_disc_price"].sum()), 2)],
+            "avg_disc": [round(float(g["sum_disc"].sum()) / n, 4)],
+            "count_order": [np.int64(n)],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def topk_orders(sf_dir: str):
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "total": df["o_totalprice"].round(2),
+        }),
+        batch_format="pandas",
+    )
+
+
+def customer_min_order(sf_dir: str):
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(m=("o_totalprice", "min"))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": [g["o_custkey"].iloc[0]],
+            "min_totalprice": [round(float(g["m"].min()), 2)],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def hourly_events(sf_dir: str):
+    """Tumbling-window aggregate (streaming-shaped; §2.8) — hour buckets as
+    strings so both engines agree on the output dtype exactly."""
+    ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=pd.to_datetime(df["ts"]).dt.strftime("%Y-%m-%d %H:00:00"))
+        return df.groupby(["hour", "event_type"], as_index=False).agg(
+            n=("value", "size"), s=("value", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": [g["hour"].iloc[0]],
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [np.int64(g["n"].sum())],
+            "sum_value": [round(float(g["s"].sum()), 2)],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["hour", "event_type"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def event_user_stats(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [np.int64(len(g))],
+            "users": [np.int64(g["user_id"].nunique())],
+        })
+
+    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+def json_props_sum(sf_dir: str):
+    """Scalar JSON-field extraction (§2.7 json ops) — vectorized regex."""
+    ds = _pq(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k":\s*(\d+)')[0].astype("int64")
+        return (
+            df.assign(k=k)
+            .groupby("event_type", as_index=False)
+            .agg(s=("k", "sum"))
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "sum_k": [np.int64(g["s"].sum())],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------------------- joins
+
+def mktsegment_revenue(sf_dir: str):
+    """orders ⋈ customer with the dimension side broadcast (ray.put once)."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        df = df.assign(c_mktsegment=df["o_custkey"].map(seg))
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n=("o_totalprice", "size"), s=("o_totalprice", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": [g["c_mktsegment"].iloc[0]],
+            "order_count": [np.int64(g["n"].sum())],
+            "revenue": [round(float(g["s"].sum()), 2)],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def large_part_lineitems(sf_dir: str):
+    """Semi-join via broadcast key set (J4)."""
+    part = _pq(sf_dir, "part", ["p_partkey", "p_size"]).to_pandas()
+    keys_ref = ray.put(set(part.loc[part["p_size"] >= 40, "p_partkey"]))
+    ds = _pq(sf_dir, "lineitem", ["l_partkey", "l_returnflag", "l_extendedprice"])
+    ds = semi_join_filter(ds, "l_partkey", keys_ref)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_returnflag", as_index=False).agg(
+            n=("l_extendedprice", "size"), s=("l_extendedprice", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "n": [np.int64(g["n"].sum())],
+            "total": [round(float(g["s"].sum()), 2)],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def idle_customers(sf_dir: str):
+    """Anti-join via broadcast key set (J5): customers with no URGENT order."""
+    import pyarrow.compute as pc
+
+    okeys = (
+        _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+    keys_ref = ray.put(set(okeys))
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ds = anti_join_filter(ds, "c_custkey", keys_ref)
+
+    def per_seg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": [g["c_mktsegment"].iloc[0]],
+            "idle_customers": [np.int64(len(g))],
+        })
+
+    return ds.groupby("c_mktsegment").map_groups(per_seg, batch_format="pandas")
+
+
+def orders_lineitem_join(sf_dir: str):
+    """Both sides large → partitioned hash join (state/joins.hash_join)."""
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["l_orderkey"],
+            "rev": df["l_extendedprice"] * (1 - df["l_discount"]),
+        }),
+        batch_format="pandas",
+    )
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="o_orderkey", buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n=("rev", "size"), s=("rev", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "n_lines": [np.int64(g["n"].sum())],
+            "revenue": [round(float(g["s"].sum()), 2)],
+        })
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def asof_events_orders(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (custom operator; right side pre-aggregated to
+    one row per (key, time) so the match is deterministic)."""
+    events = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    from ..state.groupby import partition_reduce
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_custkey", "o_orderdate"], as_index=False).agg(
+            best_price=("o_totalprice", "max")
+        )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["o_custkey", "o_orderdate"], as_index=False).agg(
+            best_price=("best_price", "max")
+        )
+        return g.rename(columns={"o_custkey": "user_id"})
+
+    orders_u = partition_reduce(
+        orders.map_batches(pre, batch_format="pandas"),
+        ["o_custkey", "o_orderdate"],
+        merge,
+        num_partitions=16,
+    )
+    joined = asof_join(events, orders_u, by="user_id", on="ts", right_on="o_orderdate")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["best_price"].notna()]
+        return df.groupby("event_type", as_index=False).agg(
+            n=("best_price", "size"), s=("best_price", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [np.int64(g["n"].sum())],
+            "matched_total": [round(float(g["s"].sum()), 2)],
+        })
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------- set ops / union
+
+def union_sources(sf_dir: str):
+    """W4 analog: heterogeneous tables unioned on a common schema with a
+    source discriminator."""
+    docs = _pq(sf_dir, "documents", ["lang"])
+    events = _pq(sf_dir, "events", ["event_type"])
+    d = docs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"src": ["doc"] * t.num_rows, "key": t["lang"]}
+        ),
+        batch_format="pyarrow",
+    )
+    e = events.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"src": ["event"] * t.num_rows, "key": t["event_type"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": [g["src"].iloc[0]],
+            "key": [g["key"].iloc[0]],
+            "n": [np.int64(len(g))],
+        })
+
+    return d.union(e).groupby(["src", "key"]).map_groups(per_key, batch_format="pandas")
+
+
+# ------------------------------------------------- documents training-data ops
+
+def exact_dedup_docs(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, "doc_id", "text")
+
+
+def token_stats_by_lang(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.assign(tok=token_counts(df["text"]))
+            .groupby("lang", as_index=False)
+            .agg(s=("tok", "sum"), n=("tok", "size"))
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "total_tokens": [np.int64(g["s"].sum())],
+            "n_docs": [np.int64(g["n"].sum())],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def doc_fingerprints(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"], "fp": fingerprint_md5(df["text"])}),
+        batch_format="pandas",
+    )
+
+
+def chars_by_lang_source(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "source"], as_index=False).agg(
+            n=("n_chars", "size"), s=("n_chars", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "source": [g["source"].iloc[0]],
+            "n_docs": [np.int64(n)],
+            "avg_chars": [round(float(g["s"].sum()) / n, 4)],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "source"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# -------------------------------------------------------------- similarity
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    """Deterministic query vector: the embedding of vec_id == 0."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    import pyarrow.compute as pc
+
+    row = t.filter(pc.equal(t["vec_id"], 0))
+    return np.asarray(row["embedding"].to_pylist()[0], dtype=np.float64)
+
+
+def knn_topk_cosine(sf_dir: str):
+    q = _query_vec(sf_dir)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    import pyarrow.compute as pc
+
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+    )
+    top = brute_force_topk(ds, q, 10, id_col="vec_id", extra_cols=("label",))
+    return top.map_batches(
+        lambda df: df[["vec_id", "label"]], batch_format="pandas"
+    )
+
+
+SQL: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_discount) / COUNT(*), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY 1, 2
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "customer_min_order": """
+        SELECT o_custkey, ROUND(MIN(o_totalprice), 2) AS min_totalprice
+        FROM orders GROUP BY 1
+    """,
+    "hourly_events": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "event_user_stats": """
+        SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
+        FROM events GROUP BY 1
+    """,
+    "json_props_sum": """
+        SELECT event_type,
+               CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY 1
+    """,
+    "mktsegment_revenue": """
+        SELECT c_mktsegment, COUNT(*) AS order_count,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+    """,
+    "large_part_lineitems": """
+        SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+        GROUP BY 1
+    """,
+    "idle_customers": """
+        SELECT c_mktsegment, COUNT(*) AS idle_customers
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1
+    """,
+    "orders_lineitem_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_lines,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1
+    """,
+    "asof_events_orders": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS best_price
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_type, COUNT(*) AS n, ROUND(SUM(o.best_price), 2) AS matched_total
+        FROM events e ASOF JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        GROUP BY 1
+    """,
+    "union_sources": """
+        SELECT 'doc' AS src, lang AS key, COUNT(*) AS n FROM documents GROUP BY 2
+        UNION ALL
+        SELECT 'event' AS src, event_type AS key, COUNT(*) AS n FROM events GROUP BY 2
+    """,
+    "exact_dedup_docs": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "token_stats_by_lang": """
+        SELECT lang,
+               CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "chars_by_lang_source": """
+        SELECT lang, source, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY 1, 2
+    """,
+    "knn_topk_cosine": """
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+        LIMIT 10
+    """,
+}
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "topk_orders": topk_orders,
+    "customer_min_order": customer_min_order,
+    "hourly_events": hourly_events,
+    "event_user_stats": event_user_stats,
+    "json_props_sum": json_props_sum,
+    "mktsegment_revenue": mktsegment_revenue,
+    "large_part_lineitems": large_part_lineitems,
+    "idle_customers": idle_customers,
+    "orders_lineitem_join": orders_lineitem_join,
+    "asof_events_orders": asof_events_orders,
+    "union_sources": union_sources,
+    "exact_dedup_docs": exact_dedup_docs,
+    "token_stats_by_lang": token_stats_by_lang,
+    "doc_fingerprints": doc_fingerprints,
+    "chars_by_lang_source": chars_by_lang_source,
+    "knn_topk_cosine": knn_topk_cosine,
+}

@@ -344,7 +344,7 @@ def alias_dict_table(seed: int = 42, dim: int = 64) -> pa.Table:
 
 
 def write_corpus(out_dir: str, n_rows: int, seed: int = 42, dim: int = 64,
-                 rows_per_block: int = 1000) -> str:
+                 rows_per_block: int = 250) -> str:
     """Generate web_pages + alias_dict parquet under ``out_dir`` via a Ray
     Data pipeline (parallel generation; no driver-side row loop)."""
     import pyarrow.parquet as pq
@@ -354,9 +354,12 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42, dim: int = 64,
     os.makedirs(pages_dir, exist_ok=True)
     n_blocks = max(1, n_rows // rows_per_block)
     ds = rd.range(n_rows, override_num_blocks=n_blocks)
+    import ray
+
+    gen_pool = max(1, min(8, int(ray.cluster_resources().get("CPU", 4)) - 1))
     ds = ds.map_batches(_GenBatch, fn_constructor_kwargs={"seed": seed},
                         batch_format="pyarrow", batch_size=rows_per_block,
-                        concurrency=(1, 8))
+                        concurrency=gen_pool)
     ds.write_parquet(pages_dir)
     pq.write_table(alias_dict_table(seed, dim), os.path.join(out_dir, "alias_dict.parquet"))
     return out_dir

@@ -29,6 +29,7 @@ import pyarrow as pa
 import ray
 
 from ..config import KGConfig
+from .common import pool_size
 from ..functions.canon import (
     PAIR_CAP,
     UnionFind,
@@ -56,18 +57,20 @@ def distinct_surfaces(triples_raw_ds, cfg: KGConfig):
     """Distinct mention surfaces; per-batch partial distinct before the
     groupby so head surfaces shuffle as one row per batch, not per mention."""
 
+    from ..state.groupby import distinct_rows
+
+    import pyarrow.compute as pc
+
     def partial(batch: pa.Table) -> pa.Table:
-        s = set(batch["subj"].to_pylist()) | set(batch["obj"].to_pylist())
-        return pa.Table.from_pydict({"surface": sorted(s)})
+        both = pa.chunked_array(batch["subj"].chunks + batch["obj"].chunks)
+        return pa.Table.from_arrays([pc.unique(both)], names=["surface"])
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.iloc[0:1]
-
-    return (
-        triples_raw_ds.select_columns(["subj", "obj"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("surface")
-        .map_groups(first, batch_format="pandas")
+    return distinct_rows(
+        triples_raw_ds.select_columns(["subj", "obj"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["surface"],
+        num_partitions=16,
     )
 
 
@@ -111,7 +114,7 @@ def lsh_edges(surfaces_ds, cfg: KGConfig):
         _BandRows,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
-        concurrency=(1, cfg.actor_pool_size),
+        concurrency=pool_size(min(4, cfg.actor_pool_size)),
     )
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -123,14 +126,12 @@ def lsh_edges(surfaces_ds, cfg: KGConfig):
         return pd.DataFrame({"src": [p[0] for p in out], "dst": [p[1] for p in out]})
 
     # a pair found in several bands is deduped here (normalized src<dst key)
-    def dedup(group: pd.DataFrame) -> pd.DataFrame:
-        return group.iloc[0:1]
+    from ..state.groupby import distinct_rows
 
-    return (
-        banded.groupby("band_key")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["src", "dst"])
-        .map_groups(dedup, batch_format="pandas")
+    return distinct_rows(
+        banded.groupby("band_key").map_groups(pairs, batch_format="pandas"),
+        ["src", "dst"],
+        num_partitions=8,
     )
 
 
@@ -231,16 +232,58 @@ def build_entity_map(triples_raw_ds, alias_ref: ray.ObjectRef, cfg: KGConfig):
     """triples_raw → entity_map Dataset (surface, canonical_id, cluster_size)."""
     import ray.data as rd
 
+    # every dataset past the distinct step is vocab-sized — small pools and
+    # few partitions; big pools only burn startup time here
+    pool = min(4, cfg.actor_pool_size)
     surfaces = distinct_surfaces(triples_raw_ds, cfg).materialize()
+
+    n_surfaces = surfaces.count()  # metadata-only on a materialized dataset
+    if n_surfaces <= cfg.driver_canon_max:
+        # vocab-sized fast path: the surface set fits trivially on the
+        # driver, so banding/linking/union-find run sequentially with the
+        # SAME kernels (functions/canon.py) the distributed path uses —
+        # identical output, none of the small-shuffle fixed costs. The
+        # distributed path below is the >200k-surface scale path and is
+        # exercised by tests via cfg.driver_canon_max=0.
+        from ..functions.canon import lsh_candidate_edges
+
+        surface_list = sorted(r["surface"] for r in surfaces.take_all())
+        alias_table = ray.get(alias_ref)
+        index = build_alias_index(alias_table)
+        uf = UnionFind()
+        for s in surface_list:
+            uf.find(s)
+            cand = best_candidate(s, index, cfg.embedding_dim)
+            if cand is not None and cand[1] >= cfg.link_threshold:
+                uf.union(s, qid_node(cand[0]))
+        for s1, s2 in lsh_candidate_edges(
+            surface_list, seed=cfg.seed, num_perms=cfg.minhash_perms,
+            bands=cfg.lsh_bands, k=cfg.shingle_k, threshold=cfg.jaccard_threshold,
+        ):
+            uf.union(s1, s2)
+        rows_s, rows_c, rows_n = [], [], []
+        for _, members in sorted(uf.components().items()):
+            cid = canonical_id_for_component(members)
+            surfs = [m for m in members if not is_qid_node(m)]
+            rows_s.extend(surfs)
+            rows_c.extend([cid] * len(surfs))
+            rows_n.extend([len(surfs)] * len(surfs))
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"surface": rows_s, "canonical_id": rows_c, "cluster_size": rows_n},
+                schema=ENTITY_MAP_SCHEMA,
+            )
+        )
+
     link_e = surfaces.map_batches(
         _LinkEdges,
         fn_constructor_kwargs={"alias_ref": alias_ref, "cfg": cfg},
         batch_format="pyarrow",
-        concurrency=(1, cfg.actor_pool_size),
+        concurrency=pool_size(pool),
     )
     edges = link_e.union(_to_arrow(lsh_edges(surfaces, cfg))).materialize()
 
-    n_edges = edges.count()
+    n_edges = edges.count()  # metadata-only on a materialized dataset
     if n_edges <= cfg.driver_unionfind_max:
         # candidate set provably small → driver union-find (SURVEY.md §2.6 W2)
         all_surfaces = [r["surface"] for r in surfaces.take_all()]
@@ -252,16 +295,21 @@ def build_entity_map(triples_raw_ds, alias_ref: ray.ObjectRef, cfg: KGConfig):
     else:
         labels = _components_distributed(edges, surfaces, cfg)
 
-    def assign(group: pd.DataFrame) -> pd.DataFrame:
-        members = group["node"].tolist()
-        cid = canonical_id_for_component(members)
-        surfs = [m for m in members if not is_qid_node(m)]
+    def assign(part: pd.DataFrame) -> pd.DataFrame:
+        # all nodes of a component share a label → one partition holds whole
+        # components; loop components in plain Python (vocab-sized)
+        out_s, out_c, out_n = [], [], []
+        for _, group in part.groupby("label", sort=False):
+            members = group["node"].tolist()
+            cid = canonical_id_for_component(members)
+            surfs = [m for m in members if not is_qid_node(m)]
+            out_s.extend(surfs)
+            out_c.extend([cid] * len(surfs))
+            out_n.extend([len(surfs)] * len(surfs))
         return pd.DataFrame(
-            {
-                "surface": surfs,
-                "canonical_id": [cid] * len(surfs),
-                "cluster_size": [len(surfs)] * len(surfs),
-            }
+            {"surface": out_s, "canonical_id": out_c, "cluster_size": out_n}
         )
 
-    return labels.groupby("label").map_groups(assign, batch_format="pandas")
+    from ..state.groupby import partition_reduce
+
+    return partition_reduce(labels, ["label"], assign, num_partitions=8)

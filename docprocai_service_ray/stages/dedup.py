@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, MinHash+LSH near-dup, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+First-class training-data ops. Shapes (all shuffle-once designs):
+
+- exact: content-hash column in ``map_batches`` → ``groupby(hash)`` →
+  first-per-group (the shuffle key is the 16-byte hash, never the text);
+- MinHash-LSH: shingle→signature per batch → explode to
+  (band_id, band_hash) rows → ``groupby`` band buckets → candidate pairs
+  (capped per bucket) → exact-jaccard verify. Same skeleton as surface
+  canonicalization (stages/canonicalize.py) at document granularity;
+- SimHash: 64-bit signature; banding on 4×16-bit chunks (pigeonhole: any
+  pair within hamming ≤ 3 shares a chunk) → verify hamming;
+- embedding near-dup: random-hyperplane LSH buckets → within-bucket
+  cosine (delegates to stages/similarity.py hyperplane code).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import jaccard, minhash_params, minhash_signature, simhash64
+from .common import pool_size
+
+_WORDS = re.compile(r"\S+")
+DEDUP_PAIR_CAP = 200  # per-bucket candidate cap (chain keeps connectivity)
+
+
+def _first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+    return g.sort_values(g.columns[0]).iloc[0:1]
+
+
+def exact_dedup(ds, id_col: str, text_col: str):
+    """One row per distinct text: (id_col → min id, n_copies). The groupby
+    key is a 16-byte blake2 hash, so only (hash, id) pairs shuffle."""
+
+    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "h": batch[text_col]
+                .fillna("")
+                .map(lambda t: hashlib.blake2b(t.encode(), digest_size=16).hexdigest()),
+                id_col: batch[id_col],
+            }
+        )
+
+    def keep(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("h", as_index=False).agg(**{
+            id_col: (id_col, "min"), "n_copies": (id_col, "size")
+        })
+        return g[[id_col, "n_copies"]].astype({"n_copies": "int64"})
+
+    from ..state.groupby import partition_reduce
+
+    return partition_reduce(
+        ds.map_batches(hash_batch, batch_format="pandas"), ["h"], keep
+    )
+
+
+def word_shingles(text: str, k: int) -> set[str]:
+    ws = _WORDS.findall((text or "").lower())
+    if len(ws) <= k:
+        return {" ".join(ws)} if ws else set()
+    return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+
+def _pairs_in_bucket(ids: list, cap: int) -> list[tuple]:
+    ids = sorted(set(ids))
+    if len(ids) < 2:
+        return []
+    if len(ids) <= cap:
+        return [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+    return [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+
+
+class _MinhashSig:
+    """Per-batch MinHash banding rows; params + shingle cache per actor."""
+
+    def __init__(self, text_col: str, id_col: str, k: int, num_perms: int, bands: int, seed: int):
+        self.a, self.b = minhash_params(num_perms, seed)
+        self.text_col, self.id_col = text_col, id_col
+        self.k, self.bands = k, bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        o_band, o_id = [], []
+        rows = self.a.shape[0] // self.bands
+        for i, text in zip(ids, texts):
+            sh = word_shingles(text, self.k)
+            if not sh:
+                continue
+            hv = np.array(
+                sorted(
+                    int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "little")
+                    for s in sh
+                ),
+                dtype=np.uint64,
+            )
+            sig = minhash_signature(hv, self.a, self.b)
+            for bi in range(self.bands):
+                chunk = sig[bi * rows : (bi + 1) * rows]
+                key = hashlib.blake2b(chunk.tobytes() + bytes([bi]), digest_size=8).digest()
+                o_band.append(int.from_bytes(key, "little"))
+                o_id.append(i)
+        return pa.Table.from_pydict(
+            {"band": pa.array(o_band, pa.uint64()), "id": o_id}
+        )
+
+
+def minhash_lsh_pairs(
+    ds,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_words: int = 5,
+    num_perms: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+):
+    """Near-duplicate candidate pairs with exact-jaccard verification.
+    Returns Dataset(id_a, id_b, jaccard). The verify step re-reads the two
+    texts via a broadcast id→text map built from the candidate ids only
+    (candidates ≪ corpus; for corpora where even candidates are huge,
+    verification joins text back by id with state/joins.hash_join)."""
+    import ray
+
+    banded = ds.map_batches(
+        _MinhashSig,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, k=shingle_words,
+            num_perms=num_perms, bands=bands, seed=seed,
+        ),
+        batch_format="pyarrow",
+        concurrency=pool_size(4),
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ps = _pairs_in_bucket(g["id"].tolist(), DEDUP_PAIR_CAP)
+        return pd.DataFrame({"id_a": [p[0] for p in ps], "id_b": [p[1] for p in ps]})
+
+    from ..state.groupby import distinct_rows
+
+    pairs = distinct_rows(
+        banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas"),
+        ["id_a", "id_b"],
+    ).materialize()
+    cand_ids = set()
+    for r in pairs.take_all():
+        cand_ids.add(r["id_a"])
+        cand_ids.add(r["id_b"])
+    if not cand_ids:
+        return pairs.map_batches(
+            lambda df: df.assign(jaccard=pd.Series(dtype=float)), batch_format="pandas"
+        )
+    texts_ds = ds.map_batches(
+        lambda df: df[df[id_col].isin(cand_ids)][[id_col, text_col]],
+        batch_format="pandas",
+    )
+    text_map = {r[id_col]: r[text_col] for r in texts_ds.take_all()}
+    ref = ray.put(text_map)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        tm = _ray.get(ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            j = jaccard(
+                word_shingles(tm.get(a, ""), shingle_words),
+                word_shingles(tm.get(b, ""), shingle_words),
+            )
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    return pairs.map_batches(verify, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(ds, id_col: str, text_col: str, *, shingle_words: int = 3,
+                        threshold: float = 0.5, seed: int = 42):
+    """n-gram Jaccard near-dup = the MinHash-LSH pipeline with a lower
+    threshold and smaller shingles (recall-oriented)."""
+    return minhash_lsh_pairs(
+        ds, id_col, text_col,
+        shingle_words=shingle_words, num_perms=64, bands=32,
+        threshold=threshold, seed=seed,
+    )
+
+
+def _bigrams(text: str) -> list[str]:
+    """Word bigrams — unigram SimHash saturates on same-vocabulary corpora
+    (every boilerplate-heavy page collides); bigrams restore discrimination."""
+    ws = _WORDS.findall((text or "").lower())
+    if len(ws) < 2:
+        return ws
+    return [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+
+
+class _SimhashRows:
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        sigs = [simhash64(_bigrams(t)) for t in texts]
+        return pa.Table.from_pydict(
+            {"id": ids, "simhash": pa.array([np.uint64(s) for s in sigs], pa.uint64())}
+        )
+
+
+def simhash_signatures(ds, id_col: str, text_col: str):
+    """(id, simhash) rows — the fingerprint table."""
+    return ds.map_batches(
+        _SimhashRows,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=pool_size(4),
+    )
+
+
+def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3):
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4×16-bit
+    chunks (pigeonhole guarantees any pair with hamming ≤ 3 collides on at
+    least one chunk), groupby chunk value, verify hamming distance."""
+    sigs = simhash_signatures(ds, id_col, text_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        hs = batch["simhash"].to_pylist()
+        o_key, o_id, o_sig = [], [], []
+        for i, h in zip(ids, hs):
+            h = int(h)
+            for c in range(4):
+                chunk = (h >> (16 * c)) & 0xFFFF
+                o_key.append((c << 16) | chunk)
+                o_id.append(i)
+                o_sig.append(np.uint64(h))
+        return pa.Table.from_pydict(
+            {"key": pa.array(o_key, pa.int64()), "id": o_id,
+             "simhash": pa.array(o_sig, pa.uint64())}
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(g["id"], g["simhash"]))
+        out_a, out_b, out_d = [], [], []
+        rows = rows[:DEDUP_PAIR_CAP]
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
+                if d <= max_hamming and rows[i][0] != rows[j][0]:
+                    out_a.append(rows[i][0])
+                    out_b.append(rows[j][0])
+                    out_d.append(d)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
+
+    from ..state.groupby import distinct_rows
+
+    return distinct_rows(
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(bucket_pairs, batch_format="pandas"),
+        ["id_a", "id_b"],
+    )

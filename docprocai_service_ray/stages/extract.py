@@ -70,16 +70,35 @@ def dedup_urls(docs_ds, cfg: KGConfig):
     duplicated urls → broadcast winners → filter."""
     import pandas as pd
 
+    from ..state.groupby import partition_reduce
+
     proj = docs_ds.select_columns(["url", "warc_ts", "content_hash"])
 
-    def winners(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) == 1:
-            return group.iloc[0:0]  # unique url → nothing to fix
-        g = group.sort_values(["warc_ts", "content_hash"], ascending=False)
-        return g.iloc[0:1]
+    def winners(part: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a url are in this partition → global per-url decision,
+        # fully vectorized (sort + drop_duplicates + duplicated mask)
+        dup_mask = part.duplicated("url", keep=False)
+        dups = part[dup_mask]
+        if dups.empty:
+            return part.iloc[0:0]
+        best = dups.sort_values(
+            ["url", "warc_ts", "content_hash"], ascending=[True, False, False]
+        ).drop_duplicates("url", keep="first")
+        return best
 
-    dup_winners = proj.groupby("url").map_groups(winners, batch_format="pandas")
-    win_rows = dup_winners.take_all()  # small: only urls that appear 2+ times
+    n_docs = None
+    try:
+        n_docs = docs_ds.count()  # metadata-only for parquet / materialized inputs
+    except Exception:
+        pass
+    if n_docs is not None and n_docs <= cfg.driver_dedup_max:
+        # small-side fast path: the 40-byte/row projection fits on the
+        # driver — one streaming pass, no shuffle
+        win_df = winners(proj.to_pandas())
+        win_rows = win_df.to_dict("records")
+    else:
+        dup_winners = partition_reduce(proj, ["url"], winners, num_partitions=64)
+        win_rows = dup_winners.take_all()  # small: only urls that appear 2+ times
     win_map = {r["url"]: (r["warc_ts"], r["content_hash"]) for r in win_rows}
     if not win_map:
         return docs_ds
@@ -98,12 +117,22 @@ def dedup_urls(docs_ds, cfg: KGConfig):
     return docs_ds.map_batches(keep, batch_format="pyarrow")
 
 
-def build_docs(pages_ds, cfg: KGConfig):
-    """web_pages Dataset → docs Dataset (extracted, deduped)."""
-    ds = pages_ds.map_batches(
+def extract_docs(pages_ds, cfg: KGConfig):
+    """web_pages Dataset → raw extracted docs (not yet url-deduped)."""
+    return pages_ds.map_batches(
         extract_batch,
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
         zero_copy_batch=True,
     )
-    return dedup_urls(ds, cfg)
+
+
+def build_docs(pages_ds, cfg: KGConfig):
+    """web_pages Dataset → docs Dataset (extracted, deduped).
+
+    The winners pass and the filter pass both consume the extraction; to run
+    the (expensive) HTML parse exactly once the extraction is pinned with
+    ``materialize()`` here. The checkpointed pipeline (pipelines/kg.py)
+    avoids even that by writing the raw extraction to Parquet first and
+    running the winners pass over the cheap columnar projection."""
+    return dedup_urls(extract_docs(pages_ds, cfg).materialize(), cfg)

@@ -6,13 +6,21 @@ bucketed Parquet output (W3 + A2 + §4.3 "graph materialize").
   state/joins.py for an entity map too large to broadcast).
 - exact dedup on the normalized key (subject_id, pred, object_id) — the
   W3 analog of the reference's symmetric link-dedup existence check
-  (persistence/SegmentDbConnector.py:201-221) — expressed as SALTED
-  TWO-PHASE aggregation:
+  (persistence/SegmentDbConnector.py:201-221) — expressed as TWO-PHASE
+  aggregation:
     phase 0: per-batch partial aggregate inside map_batches (a head triple
              occurring 10^6 times in a batch leaves it as ONE row with a
-             capped provenance sample);
-    phase 1: groupby(key + salt) merges partials per salt bucket;
-    phase 2: groupby(key) merges the ≤ S salted rows into the final row.
+             capped provenance sample — this is the skew defusal: post-
+             phase-0, a key's row count is bounded by #batches, never by
+             corpus size). Each partial row is (part, payload) where part
+             is a stable hash-partition id and payload a compact pickled
+             (key, weight, prov) record — the shuffle moves two flat
+             columns, never nested Arrow lists through pandas objects;
+    phase 1: ``groupby(part)`` (one sort on an int64 column) → ONE merge
+             call per partition that unpickles, aggregates and emits the
+             final Arrow rows. Never one Python call per key — Ray's
+             per-group map_groups costs ~2ms/key, hours of pure overhead
+             at 10^7 distinct triples.
 - provenance = the cfg.prov_cap smallest (url, sent_id) entries (matches
   the sequential oracle exactly: min-k of a union == min-k of min-ks);
   overflow is counted, never silently dropped (prov_overflow column).
@@ -22,12 +30,14 @@ bucketed Parquet output (W3 + A2 + §4.3 "graph materialize").
 
 from __future__ import annotations
 
-import pandas as pd
+import pickle
+
 import pyarrow as pa
 import ray
 
 from ..config import KGConfig
 from ..functions.hashing import stable_u64
+from .common import pool_size
 
 PROV_STRUCT = pa.struct(
     [
@@ -50,16 +60,7 @@ TRIPLES_SCHEMA = pa.schema(
 )
 
 _PARTIAL_SCHEMA = pa.schema(
-    [
-        pa.field("subject_id", pa.string()),
-        pa.field("pred", pa.string()),
-        pa.field("object_id", pa.string()),
-        pa.field("weight", pa.int64()),
-        pa.field("prov_urls", pa.list_(pa.string())),
-        pa.field("prov_ts", pa.list_(pa.timestamp("us"))),
-        pa.field("prov_sids", pa.list_(pa.int32())),
-        pa.field("salt", pa.int32()),
-    ]
+    [pa.field("part", pa.int64()), pa.field("payload", pa.binary())]
 )
 
 
@@ -67,9 +68,10 @@ class _PartialAgg:
     """Phase 0: per-batch combine. Canonical-id lookup from the broadcast
     entity map happens here too (once per actor, zero-copy read)."""
 
-    def __init__(self, emap_ref: ray.ObjectRef, cfg: KGConfig):
+    def __init__(self, emap_ref: ray.ObjectRef, cfg: KGConfig, num_parts: int):
         self.emap: dict[str, str] = ray.get(emap_ref)
         self.cfg = cfg
+        self.num_parts = num_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -83,107 +85,112 @@ class _PartialAgg:
             batch["sent_id"].to_pylist(),
         )
         for subj, pred, obj, url, ts, sid in rows:
-            sid_c = self.emap.get(subj, subj)
-            oid_c = self.emap.get(obj, obj)
-            key = (sid_c, pred, oid_c)
+            key = (self.emap.get(subj, subj), pred, self.emap.get(obj, obj))
             ent = agg.get(key)
             if ent is None:
                 ent = agg[key] = [0, []]  # weight, prov tuples
             ent[0] += 1
             ent[1].append((url, sid, ts))
-        cols: dict[str, list] = {n: [] for n in _PARTIAL_SCHEMA.names}
-        for (s, p, o), (w, prov) in agg.items():
+        parts, payloads = [], []
+        for key, (w, prov) in agg.items():
             prov.sort()
-            prov = prov[: cfg.prov_cap]
-            cols["subject_id"].append(s)
-            cols["pred"].append(p)
-            cols["object_id"].append(o)
-            cols["weight"].append(w)
-            cols["prov_urls"].append([t[0] for t in prov])
-            cols["prov_sids"].append([t[1] for t in prov])
-            cols["prov_ts"].append([t[2] for t in prov])
-            cols["salt"].append(
-                stable_u64(prov[0][0], 7) % cfg.lsh_salt_buckets if prov else 0
+            parts.append(stable_u64("\x1f".join(key)) % self.num_parts)
+            payloads.append(
+                pickle.dumps((key, w, prov[: cfg.prov_cap]), protocol=5)
             )
         return pa.Table.from_arrays(
-            [pa.array(cols[f.name], f.type) for f in _PARTIAL_SCHEMA],
+            [pa.array(parts, pa.int64()), pa.array(payloads, pa.binary())],
             schema=_PARTIAL_SCHEMA,
         )
 
 
-def _merge_rows(group: pd.DataFrame, cap: int, drop_salt: bool) -> pa.Table:
-    """Merge partial rows sharing one (subject_id, pred, object_id) key."""
-    prov: list[tuple] = []
-    for urls, sids, tss in zip(group["prov_urls"], group["prov_sids"], group["prov_ts"]):
-        prov.extend(zip(urls, sids, tss))
-    prov.sort()
-    prov = prov[:cap]
-    cols = {
-        "subject_id": [group["subject_id"].iloc[0]],
-        "pred": [group["pred"].iloc[0]],
-        "object_id": [group["object_id"].iloc[0]],
-        "weight": [int(group["weight"].sum())],
-        "prov_urls": [[t[0] for t in prov]],
-        "prov_ts": [[t[2] for t in prov]],
-        "prov_sids": [[t[1] for t in prov]],
-        "salt": [int(group["salt"].iloc[0]) if not drop_salt else 0],
-    }
+def _merge_payloads(group: pa.Table, cfg: KGConfig, num_parts: int) -> pa.Table:
+    """Intermediate tree level: aggregate a block's partials, re-emit as
+    (part, payload) partial rows (associative: min-k prov of min-ks)."""
+    agg: dict[tuple[str, str, str], list] = {}
+    for payload in group["payload"].to_pylist():
+        key, w, prov = pickle.loads(payload)
+        ent = agg.get(key)
+        if ent is None:
+            ent = agg[key] = [0, []]
+        ent[0] += w
+        ent[1].extend(prov)
+    parts, payloads = [], []
+    cap = cfg.prov_cap
+    for key, (w, prov) in agg.items():
+        prov.sort()
+        parts.append(stable_u64("\x1f".join(key)) % num_parts)
+        payloads.append(pickle.dumps((key, w, prov[:cap]), protocol=5))
     return pa.Table.from_arrays(
-        [pa.array(cols[f.name], f.type) for f in _PARTIAL_SCHEMA],
+        [pa.array(parts, pa.int64()), pa.array(payloads, pa.binary())],
         schema=_PARTIAL_SCHEMA,
     )
 
 
-def _finalize(batch: pa.Table, cfg: KGConfig) -> pa.Table:
-    subs = batch["subject_id"].to_pylist()
-    preds = batch["pred"].to_pylist()
-    objs = batch["object_id"].to_pylist()
-    weights = batch["weight"].to_pylist()
-    urls = batch["prov_urls"].to_pylist()
-    tss = batch["prov_ts"].to_pylist()
-    sids = batch["prov_sids"].to_pylist()
-    provs = [
-        [{"url": u, "warc_ts": t, "sent_id": i} for u, t, i in zip(us, ts_, si)]
-        for us, ts_, si in zip(urls, tss, sids)
-    ]
-    overflow = [w - len(p) for w, p in zip(weights, provs)]
-    buckets = [stable_u64(s) % cfg.output_buckets for s in subs]
+def _merge_partition(group: pa.Table, cfg: KGConfig) -> pa.Table:
+    """Phase 1: merge ALL partial rows of one hash partition and emit final
+    triple rows — a tight loop over pickled partials, no per-key frames."""
+    agg: dict[tuple[str, str, str], list] = {}
+    for payload in group["payload"].to_pylist():
+        key, w, prov = pickle.loads(payload)
+        ent = agg.get(key)
+        if ent is None:
+            ent = agg[key] = [0, []]
+        ent[0] += w
+        ent[1].extend(prov)
+    cols: dict[str, list] = {n: [] for n in TRIPLES_SCHEMA.names}
+    cap = cfg.prov_cap
+    for (s, p, o), (w, prov) in agg.items():
+        prov.sort()
+        prov = prov[:cap]
+        cols["subject_id"].append(s)
+        cols["pred"].append(p)
+        cols["object_id"].append(o)
+        cols["prov"].append(
+            [{"url": u, "warc_ts": t, "sent_id": i} for u, i, t in prov]
+        )
+        cols["weight"].append(w)
+        cols["prov_overflow"].append(w - len(prov))
+        cols["bucket"].append(stable_u64(s) % cfg.output_buckets)
     return pa.Table.from_arrays(
-        [
-            pa.array(subs, pa.string()),
-            pa.array(preds, pa.string()),
-            pa.array(objs, pa.string()),
-            pa.array(provs, pa.list_(PROV_STRUCT)),
-            pa.array(weights, pa.int64()),
-            pa.array(overflow, pa.int64()),
-            pa.array(buckets, pa.int32()),
-        ],
+        [pa.array(cols[f.name], f.type) for f in TRIPLES_SCHEMA],
         schema=TRIPLES_SCHEMA,
     )
 
 
 def build_triples(triples_raw_ds, emap_ref: ray.ObjectRef, cfg: KGConfig):
-    """triples_raw + broadcast entity map → final canonical triples."""
+    """triples_raw + broadcast entity map → final canonical triples.
+
+    Aggregation: after phase 0, one TREE level —
+    ``repartition(~2×CPUs, no shuffle)`` + whole-block merge — compresses a
+    vocab-like key space (entity inventories are bounded) by orders of
+    magnitude before the grouped exchange, so the sort moves far fewer
+    rows; for a corpus-sized key space the level is a cheap narrow map and
+    the ``groupby(part)`` exchange does the real work. Deterministic
+    either way (merge is associative + commutative; min-k prov of min-ks
+    == global min-k)."""
+    num_parts = cfg.output_buckets * 4
     partial = triples_raw_ds.select_columns(
         ["subj", "pred", "obj", "url", "warc_ts", "sent_id"]
     ).map_batches(
         _PartialAgg,
-        fn_constructor_kwargs={"emap_ref": emap_ref, "cfg": cfg},
+        fn_constructor_kwargs={"emap_ref": emap_ref, "cfg": cfg, "num_parts": num_parts},
         batch_format="pyarrow",
         batch_size=cfg.triple_batch_size,
-        concurrency=(1, cfg.actor_pool_size),
+        concurrency=pool_size(cfg.actor_pool_size),
         num_cpus=1,
     )
-    salted = partial.groupby(["subject_id", "pred", "object_id", "salt"]).map_groups(
-        lambda g: _merge_rows(g, cfg.prov_cap, drop_salt=False),
-        batch_format="pandas",
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    lvl1 = partial.repartition(max(16, cpus * 2)).map_batches(
+        lambda g: _merge_payloads(g, cfg, num_parts),
+        batch_format="pyarrow",
+        batch_size=None,  # whole-block merges
     )
-    merged = salted.groupby(["subject_id", "pred", "object_id"]).map_groups(
-        lambda g: _merge_rows(g, cfg.prov_cap, drop_salt=True),
-        batch_format="pandas",
-    )
-    return merged.map_batches(
-        lambda t: _finalize(t, cfg), batch_format="pyarrow", zero_copy_batch=True
+    return lvl1.groupby("part").map_groups(
+        lambda g: _merge_partition(g, cfg), batch_format="pyarrow"
     )
 
 

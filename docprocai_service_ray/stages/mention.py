@@ -17,6 +17,7 @@ import pyarrow as pa
 import ray
 
 from ..config import KGConfig
+from .common import pool_size
 from ..functions.hashing import hash_embedding
 from ..functions.linking import best_candidate, build_alias_index
 
@@ -105,6 +106,6 @@ def build_mentions(triples_raw_ds, alias_ref: ray.ObjectRef, cfg: KGConfig):
         fn_constructor_kwargs={"alias_ref": alias_ref, "cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.embed_batch_size,
-        concurrency=(1, cfg.actor_pool_size),
+        concurrency=pool_size(cfg.actor_pool_size),
         num_cpus=1,
     )

@@ -1,0 +1,165 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: exact cosine top-k — per-block numpy matmul against
+  a broadcast query matrix (one ``ray.put``, read per task), per-block
+  partial top-k, tiny final merge. The W1 analog at scale
+  (reference: pgvector ``embedding <=> q ORDER BY LIMIT k``,
+  persistence/SegmentDbConnector.py:223-267).
+- ``hyperplane_buckets`` / ``lsh_topk``: random-hyperplane LSH — the scale
+  path: vectors land in 2^n_planes buckets; a query probes its own bucket
+  plus hamming-1 neighbours. Approximate; recall is measured against brute
+  force in tests, not assumed.
+- ``embedding_near_dup_pairs``: within-bucket cosine ≥ τ pairs (the
+  embedding near-dup deduplication op).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float>/fixed_size_list column → (n, d) float64 matrix."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.FixedSizeListArray):
+        d = arr.type.list_size
+        return arr.values.to_numpy(zero_copy_only=False).reshape(-1, d).astype(np.float64)
+    lst = arr.to_pylist()
+    return np.asarray(lst, dtype=np.float64)
+
+
+def _cosine_scores(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    qn = q / (np.linalg.norm(q) or 1.0)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return (mat @ qn) / norms
+
+
+def brute_force_topk(ds, query: np.ndarray, k: int, id_col: str = "vec_id",
+                     emb_col: str = "embedding", extra_cols: tuple = ()):
+    """Exact top-k rows by cosine similarity to ``query``.
+
+    Partial top-k per block (vectorized argpartition) → global
+    sort+limit over ≤ n_blocks*k candidate rows (small)."""
+    q_ref = ray.put(np.asarray(query, dtype=np.float64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        mat = _as_matrix(batch[emb_col])
+        if mat.shape[0] == 0:
+            return pa.Table.from_pydict(
+                {id_col: pa.array([], batch[id_col].type),
+                 **{c: pa.array([], batch[c].type) for c in extra_cols},
+                 "score": pa.array([], pa.float64())}
+            )
+        scores = _cosine_scores(mat, q)
+        kk = min(k, len(scores))
+        idx = np.argpartition(-scores, kk - 1)[:kk]
+        cols = {id_col: batch[id_col].take(pa.array(idx))}
+        for c in extra_cols:
+            cols[c] = batch[c].take(pa.array(idx))
+        cols["score"] = pa.array(scores[idx], pa.float64())
+        return pa.Table.from_pydict(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_ids(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    return (bits.astype(np.uint32) << np.arange(planes.shape[0], dtype=np.uint32)).sum(axis=1)
+
+
+def hyperplane_buckets(ds, *, dim: int, n_planes: int = 8, seed: int = 42,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       extra_cols: tuple = ()):
+    """Append a ``bucket`` column (random-hyperplane LSH, 2^n_planes ids)."""
+    planes_ref = ray.put(_hyperplanes(dim, n_planes, seed))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
+        mat = _as_matrix(batch[emb_col])
+        buckets = (
+            _bucket_ids(mat, planes) if mat.shape[0] else np.array([], dtype=np.uint32)
+        )
+        cols = {id_col: batch[id_col], emb_col: batch[emb_col]}
+        for c in extra_cols:
+            cols[c] = batch[c]
+        cols["bucket"] = pa.array(buckets.astype(np.int64), pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lsh_topk(ds, query: np.ndarray, k: int, *, dim: int, n_planes: int = 8,
+             seed: int = 42, id_col: str = "vec_id", emb_col: str = "embedding",
+             extra_cols: tuple = ()):
+    """Approximate top-k: score only vectors whose bucket is the query's or
+    one bit away (n_planes+1 of 2^n_planes buckets probed)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query, dtype=np.float64)
+    qb = int(_bucket_ids(q.reshape(1, -1), planes)[0])
+    probe = {qb} | {qb ^ (1 << i) for i in range(n_planes)}
+    bucketed = hyperplane_buckets(
+        ds, dim=dim, n_planes=n_planes, seed=seed,
+        id_col=id_col, emb_col=emb_col, extra_cols=extra_cols,
+    )
+    import pyarrow.compute as pc
+
+    cand = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t["bucket"], pa.array(sorted(probe), pa.int64()))),
+        batch_format="pyarrow",
+    ).drop_columns(["bucket"])
+    return brute_force_topk(cand, q, k, id_col=id_col, emb_col=emb_col,
+                            extra_cols=extra_cols)
+
+
+def embedding_near_dup_pairs(ds, *, dim: int, threshold: float = 0.95,
+                             n_planes: int = 10, seed: int = 42,
+                             id_col: str = "vec_id", emb_col: str = "embedding",
+                             pair_cap: int = 500):
+    """Embedding-cosine near-duplicate pairs: bucket by hyperplane LSH,
+    all-pairs cosine within bucket (capped), keep cos ≥ threshold.
+    Approximate recall (bucket boundaries) — by design; exact variant is a
+    full self-join, intractable at corpus scale."""
+    bucketed = hyperplane_buckets(
+        ds, dim=dim, n_planes=n_planes, seed=seed, id_col=id_col, emb_col=emb_col
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(pair_cap)
+        ids = g[id_col].tolist()
+        mat = np.asarray(g[emb_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        sims = mat @ mat.T
+        out_a, out_b, out_s = [], [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_s.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.iloc[0:1], batch_format="pandas")
+    )

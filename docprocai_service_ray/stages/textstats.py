@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (n-gram/stopword heuristic), quality scoring, token counting,
+document fingerprinting. All vectorized ``map_batches`` stages over a text
+column (pandas str kernels / hashlib), no per-row Python in the hot path
+except where parsing is inherently rowwise.
+
+These are the "beyond the reference" ops the target engine adds; their
+closest reference analogs are the scalar string helpers of SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "was", "for", "on", "with", "that", "it"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein", "eine", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "de", "des", "un", "une", "pour", "avec", "dans"},
+}
+_WORD_RE = re.compile(r"[a-zàâäéèêëîïôöùûüßa-z]+")
+_TOKEN_RE = r"\S+"
+_PUNCT_RE = r"[.!?,;:]"
+
+
+def token_counts(texts: pd.Series) -> pd.Series:
+    """Whitespace token count, vectorized (0 for empty/None)."""
+    return texts.fillna("").str.count(_TOKEN_RE).astype("int64")
+
+
+def bpe_ish_token_counts(texts: pd.Series) -> pd.Series:
+    """BPE-ish sub-token count: words + digit runs + punctuation singles
+    (a GPT-2-style pre-tokenizer regex, no vocab needed)."""
+    pat = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+    return texts.fillna("").str.count(pat).astype("int64")
+
+
+def punct_ratio(texts: pd.Series) -> pd.Series:
+    t = texts.fillna("")
+    n = t.str.len().clip(lower=1)
+    return t.str.count(_PUNCT_RE) / n
+
+
+def stopword_ratio(texts: pd.Series, lang: str = "en") -> pd.Series:
+    sw = _STOPWORDS[lang]
+    toks = texts.fillna("").str.lower().str.findall(_WORD_RE)
+    return toks.map(lambda ws: sum(w in sw for w in ws) / max(1, len(ws)))
+
+
+def quality_score(texts: pd.Series) -> pd.Series:
+    """Composite [0,1] quality heuristic: length band + punctuation sanity +
+    stopword presence (the boilerplate/garbage filter a pretraining pipeline
+    applies before anything expensive)."""
+    t = texts.fillna("")
+    n = t.str.len()
+    len_ok = ((n >= 50) & (n <= 100_000)).astype(float)
+    pr = punct_ratio(t)
+    punct_ok = ((pr > 0.0) & (pr < 0.2)).astype(float)
+    sw_ok = (stopword_ratio(t) > 0.02).astype(float)
+    return (0.4 * len_ok + 0.3 * punct_ok + 0.3 * sw_ok).round(6)
+
+
+def lang_id(texts: pd.Series) -> pd.Series:
+    """Stopword-vote language ID over {en, de, fr}; 'und' (undetermined)
+    when no vote fires. Deterministic; ties break alphabetically."""
+
+    def one(text: str) -> str:
+        words = _WORD_RE.findall((text or "").lower())
+        if not words:
+            return "und"
+        best_lang, best = "und", 0
+        for lang in sorted(_STOPWORDS):
+            score = sum(w in _STOPWORDS[lang] for w in words)
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang
+
+    return texts.map(one)
+
+
+def fingerprint_md5(texts: pd.Series) -> pd.Series:
+    """Hex md5 of the text — matches DuckDB ``md5(text)`` exactly, so this
+    one IS SQL-oracle-checkable."""
+    return texts.fillna("").map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+
+
+def rolling_fingerprint(texts: pd.Series, window: int = 64) -> pd.Series:
+    """Winnowing-style document fingerprint: min rolling-hash over
+    ``window``-char windows (cheap near-dup prefilter), hex-encoded."""
+
+    def one(text: str) -> str:
+        t = text or ""
+        if len(t) <= window:
+            return hashlib.blake2b(t.encode("utf-8"), digest_size=8).hexdigest()
+        best = None
+        step = max(1, (len(t) - window) // 128)  # bounded work per doc
+        for i in range(0, len(t) - window + 1, step):
+            h = hashlib.blake2b(t[i : i + window].encode("utf-8"), digest_size=8).digest()
+            if best is None or h < best:
+                best = h
+        return best.hex()
+
+    return texts.map(one)
+
+
+def add_text_stats(ds, text_col: str = "text"):
+    """Append token_count, punct_ratio, quality, lang_guess columns."""
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col]
+        batch = batch.copy()
+        batch["token_count"] = token_counts(t)
+        batch["punct_ratio"] = punct_ratio(t).round(6)
+        batch["quality"] = quality_score(t)
+        batch["lang_guess"] = lang_id(t)
+        return batch
+
+    return ds.map_batches(_fn, batch_format="pandas")

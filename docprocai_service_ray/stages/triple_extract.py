@@ -11,6 +11,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..config import KGConfig
+from .common import pool_size
 from ..functions.triples import compile_pattern, extract_triples
 
 TRIPLES_RAW_SCHEMA = pa.schema(
@@ -70,6 +71,6 @@ def build_triples_raw(sentences_ds, cfg: KGConfig):
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.triple_batch_size,
-        concurrency=(1, cfg.actor_pool_size),
+        concurrency=pool_size(cfg.actor_pool_size),
         num_cpus=1,
     )

@@ -1,0 +1,62 @@
+"""Partition-reduce: the vectorized grouped-aggregation pattern.
+
+``Dataset.groupby(key).map_groups(fn)`` invokes ``fn`` once per GROUP —
+per-key Python overhead that dominates wall time as soon as there are
+thousands of keys. This helper groups by ``hash(key) % P`` instead (P
+partition groups total, each holding *all* rows of its keys) and hands the
+whole partition to a VECTORIZED reduce function (pandas groupby.agg /
+drop_duplicates / a tight plain-Python loop) — same result, P udf calls
+instead of n_keys.
+
+Skew note: a head key's rows land in one partition, so callers must
+pre-aggregate per batch first (phase 0) so no single key's row count is
+proportional to the corpus — the standard partial+final pattern.
+
+The row hash is ``pd.util.hash_pandas_object`` with the default fixed hash
+key: deterministic across processes and runs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+
+
+def partition_reduce(
+    ds,
+    key_cols: list[str],
+    reduce_partition: Callable[[pd.DataFrame], pd.DataFrame],
+    num_partitions: int = 64,
+):
+    """Co-locate all rows sharing ``key_cols`` values and apply a vectorized
+    per-partition reduce. ``reduce_partition`` sees every row of every key
+    hashed into its partition (the ``__part`` column is already dropped)."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = df[key_cols[0]].astype(str)
+        for c in key_cols[1:]:  # vectorized concat — never .agg(axis=1)
+            key = key + "\x1f" + df[c].astype(str)
+        h = pd.util.hash_pandas_object(key, index=False)
+        df["__part"] = (h % num_partitions).astype("int64")
+        return df
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        return reduce_partition(group.drop(columns="__part"))
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def distinct_rows(ds, key_cols: list[str], num_partitions: int = 64):
+    """Distinct rows by ``key_cols`` (vectorized drop_duplicates per
+    partition; deterministic keep=first after a sort on the keys)."""
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(key_cols).drop_duplicates(key_cols, keep="first")
+
+    return partition_reduce(ds, key_cols, reduce, num_partitions)

@@ -121,3 +121,78 @@ def hash_join(
         return l.merge(r, on=keys, how=how)
 
     return both.groupby("__bucket").map_groups(_merge, batch_format="pandas")
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    by: str,
+    on: str,
+    right_on: str | None = None,
+    direction: str = "backward",
+):
+    """As-of join (custom operator — Ray Data has no native equivalent;
+    SURVEY-mandated composition (a): union + groupby + per-group
+    ``pd.merge_asof``).
+
+    Partitioning assumption (documented per the custom-operator rule): all
+    rows of one ``by`` key land in one hash partition (keys are users /
+    entities with bounded history). Both sides are tagged, unioned and
+    grouped by ``hash(by) % P`` in ONE shuffle; within a partition a single
+    vectorized ``pd.merge_asof(by=...)`` handles every key at once — never
+    one Python call per key.
+    """
+    num_partitions = 32
+    right_on = right_on or on
+    l_cols = left.schema().names
+    r_cols = right.schema().names
+    rename = {c: c + "_r" for c in r_cols if c in l_cols and c != by}
+    r_cols_final = [rename.get(c, c) for c in r_cols]
+    superset = l_cols + [c for c in r_cols_final if c not in l_cols]
+    right_on_final = rename.get(right_on, right_on)
+
+    def _tag(side: str):
+        def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            if side == "r" and rename:
+                batch = batch.rename(columns=rename)
+            for c in superset:
+                if c not in batch.columns:
+                    batch[c] = None
+            batch = batch[superset]
+            batch["__side"] = side
+            h = pd.util.hash_pandas_object(batch[by].astype(str), index=False)
+            batch["__part"] = (h % num_partitions).astype("int64")
+            return batch
+
+        return _fn
+
+    both = left.map_batches(_tag("l"), batch_format="pandas").union(
+        right.map_batches(_tag("r"), batch_format="pandas")
+    )
+    r_side_cols = [by] + [c for c in r_cols_final if c not in l_cols]
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop(columns="__part")
+        l = group[group["__side"] == "l"][l_cols]
+        r = group[group["__side"] == "r"][r_side_cols]
+        if l.empty:
+            return l.assign(
+                **{c: pd.Series(dtype=r[c].dtype) for c in r_side_cols if c != by}
+            )
+        if r.empty:
+            # left rows with no right side keep merge_asof's left-join
+            # semantics: null-filled right columns
+            return l.assign(**{c: None for c in r_side_cols if c != by})
+        l = l.copy()
+        r = r.copy()
+        l[on] = pd.to_datetime(l[on]).astype("datetime64[us]")
+        r[right_on_final] = pd.to_datetime(r[right_on_final]).astype("datetime64[us]")
+        l = l.sort_values(on, kind="stable")
+        r = r.sort_values(right_on_final, kind="stable")
+        return pd.merge_asof(
+            l, r, left_on=on, right_on=right_on_final, by=by, direction=direction,
+        )
+
+    return both.groupby("__part").map_groups(_merge, batch_format="pandas")

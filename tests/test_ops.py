@@ -1,0 +1,241 @@
+"""Tests for the training-data operators: dedup family, similarity search,
+text stats, joins, multimodal plumbing, KG query surface."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from docprocai_service_ray.stages.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+from docprocai_service_ray.stages.multimodal import (
+    DeterministicFakeDecoder,
+    NotImplementedDecoder,
+    extract_media_features,
+)
+from docprocai_service_ray.stages.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from docprocai_service_ray.stages.textstats import (
+    bpe_ish_token_counts,
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+from docprocai_service_ray.state.joins import asof_join, hash_join
+
+
+@pytest.fixture(scope="module")
+def doc_ds():
+    rows = {
+        "doc_id": list(range(8)),
+        "text": [
+            "the quick brown fox jumps over the lazy dog every day",
+            "the quick brown fox jumps over the lazy dog every day",  # exact dup of 0
+            "the quick brown fox jumps over the lazy cat every day",  # near dup
+            "completely different content about markets and trade balances",
+            "another unrelated piece concerning weather patterns in spring",
+            "short",
+            "",
+            "the quick brown fox jumps over the lazy dog every single day",  # near dup
+        ],
+    }
+    return rd.from_arrow(pa.Table.from_pydict(rows))
+
+
+class TestDedup:
+    def test_exact_dedup(self, doc_ds):
+        out = {r["doc_id"]: r["n_copies"] for r in exact_dedup(doc_ds, "doc_id", "text").take_all()}
+        assert out[0] == 2  # doc 1 collapsed into doc 0
+        assert 1 not in out
+        assert out[3] == 1
+
+    def test_minhash_pairs_find_near_dups(self, doc_ds):
+        # 32 bands × 2 rows: P(candidate) ≈ 1 at jaccard 0.5
+        pairs = minhash_lsh_pairs(doc_ds, "doc_id", "text", shingle_words=3,
+                                  num_perms=64, bands=32, threshold=0.5).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in got  # exact dup, jaccard 1.0
+        assert any(p in got for p in [(0, 2), (2, 1)])  # near dup
+        assert not any(3 in p or 4 in p for p in got)
+
+    def test_simhash_identical_docs(self, doc_ds):
+        pairs = simhash_pairs(doc_ds, "doc_id", "text", max_hamming=0).take_all()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(0, 1)}
+
+    def test_word_shingles(self):
+        assert word_shingles("a b c d", 3) == {"a b c", "b c d"}
+        assert word_shingles("", 3) == set()
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((60, 16)).astype(np.float32)
+    mat[13] = mat[5] + 0.01 * rng.standard_normal(16)  # planted near-dup pair
+    flat = mat.reshape(-1)
+    t = pa.Table.from_arrays(
+        [
+            pa.array(range(60), pa.int64()),
+            pa.FixedSizeListArray.from_arrays(pa.array(flat), 16),
+        ],
+        names=["vec_id", "embedding"],
+    )
+    return rd.from_arrow(t), mat
+
+
+class TestSimilarity:
+    def test_brute_force_topk_exact(self, emb_ds):
+        ds, mat = emb_ds
+        q = mat[5].astype(np.float64)
+        top = brute_force_topk(ds, q, 5).take_all()
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        exp = np.argsort(-(norm @ (q / np.linalg.norm(q))))[:5]
+        assert [r["vec_id"] for r in top] == list(exp)
+
+    def test_lsh_topk_recall(self, emb_ds):
+        ds, mat = emb_ds
+        q = mat[5].astype(np.float64)
+        brute = {r["vec_id"] for r in brute_force_topk(ds, q, 5).take_all()}
+        approx = {r["vec_id"] for r in lsh_topk(ds, q, 5, dim=16, n_planes=4).take_all()}
+        assert 5 in approx and 13 in approx  # the probe's own bucket neighbours
+        assert len(brute & approx) >= 2  # recall sanity, not exactness
+
+    def test_embedding_near_dup(self, emb_ds):
+        ds, _ = emb_ds
+        pairs = embedding_near_dup_pairs(ds, dim=16, threshold=0.95, n_planes=4).take_all()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(5, 13)}
+
+
+class TestTextStats:
+    def test_token_counts(self):
+        s = pd.Series(["a b  c", "", None, "one"])
+        assert token_counts(s).tolist() == [3, 0, 0, 1]
+
+    def test_bpe_ish(self):
+        assert bpe_ish_token_counts(pd.Series(["don't stop, 123!"])).tolist() == [7]
+
+    def test_lang_id(self):
+        s = pd.Series([
+            "the cat and the dog sat on a mat in the sun",
+            "der Hund und die Katze sind mit der Zeit auf ein Feld",
+            "le chat est dans la maison avec un chien pour la nuit",
+            "xyzzy qwerty",
+        ])
+        assert lang_id(s).tolist() == ["en", "de", "fr", "und"]
+
+    def test_quality_score_bounds(self):
+        s = pd.Series(["the quick brown fox. it jumps over the lazy dog every day.", "x", ""])
+        q = quality_score(s)
+        assert q.iloc[0] == 1.0
+        assert q.iloc[1] < 0.5
+        assert (q >= 0).all() and (q <= 1).all()
+
+    def test_fingerprint_matches_duckdb_md5(self):
+        import duckdb
+
+        texts = ["hello world", "käse and ümlaut", ""]
+        exp = [duckdb.sql(f"SELECT md5('{t}')").fetchone()[0] for t in texts]
+        assert fingerprint_md5(pd.Series(texts)).tolist() == exp
+
+
+class TestJoins:
+    def test_hash_join_matches_pandas(self):
+        l = pd.DataFrame({"k": [1, 2, 2, 3, 5], "a": list("abcde")})
+        r = pd.DataFrame({"k": [2, 3, 3, 4], "b": list("wxyz")})
+        got = (
+            hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k", buckets=4)
+            .to_pandas()
+            .sort_values(["k", "a", "b"])
+            .reset_index(drop=True)
+        )
+        exp = l.merge(r, on="k").sort_values(["k", "a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "a", "b"]], exp)
+
+    def test_asof_join_matches_pandas(self):
+        l = pd.DataFrame({
+            "u": [1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(["2024-01-05", "2024-01-20", "2024-01-02", "2024-01-30", "2024-01-10"]).astype("datetime64[us]"),
+            "ev": list("abcde"),
+        })
+        r = pd.DataFrame({
+            "u": [1, 1, 2],
+            "ots": pd.to_datetime(["2024-01-01", "2024-01-10", "2024-01-15"]).astype("datetime64[us]"),
+            "price": [10.0, 20.0, 30.0],
+        })
+        got = (
+            asof_join(rd.from_pandas(l), rd.from_pandas(r), by="u", on="ts", right_on="ots")
+            .to_pandas()
+            .sort_values(["u", "ts"])
+            .reset_index(drop=True)
+        )
+        assert got.loc[got["ev"] == "a", "price"].iloc[0] == 10.0
+        assert got.loc[got["ev"] == "b", "price"].iloc[0] == 20.0
+        assert np.isnan(got.loc[got["ev"] == "c", "price"].iloc[0])  # before any order
+        assert np.isnan(got.loc[got["ev"] == "e", "price"].iloc[0])  # user with no orders
+
+
+class TestMultimodal:
+    def test_fake_decoder_plumbing(self):
+        rows = {
+            "media_id": ["a", "b", "c"],
+            "kind": ["image", "video", "image"],
+            "payload": [b"\x89PNG fake", b"\x00\x00ftyp fake", b""],
+        }
+        ds = rd.from_arrow(pa.Table.from_pydict(rows))
+        out = extract_media_features(ds, feature_dim=8, concurrency=1).take_all()
+        assert len(out) == 3
+        by_id = {r["media_id"]: r for r in out}
+        assert by_id["a"]["n_frames"] == 1  # images are single-frame
+        assert by_id["b"]["n_frames"] > 1
+        assert len(by_id["a"]["feature"]) == 8
+        # determinism: same payload → same features
+        out2 = extract_media_features(ds, feature_dim=8, concurrency=1).take_all()
+        assert [r["feature"] for r in sorted(out, key=lambda r: r["media_id"])] == [
+            r["feature"] for r in sorted(out2, key=lambda r: r["media_id"])
+        ]
+
+    def test_stub_decoder_raises(self):
+        with pytest.raises(NotImplementedError):
+            NotImplementedDecoder().decode(b"x", "image")
+
+    def test_fake_decoder_deterministic(self):
+        d = DeterministicFakeDecoder(8)
+        assert d.decode(b"abc", "image")[:3] == d.decode(b"abc", "image")[:3]
+
+
+class TestKGQuerySurface:
+    def test_semantic_search_and_similar(self, kg_result):
+        from docprocai_service_ray.pipelines.queries import (
+            progress,
+            semantic_search,
+            sentences_for_url,
+            similar_entities,
+        )
+
+        res, out, cfg = kg_result
+        sents = res["sentences"]
+        top = semantic_search(sents, "Alice Turner founded Blue River Labs", k=5, cfg=cfg).take_all()
+        assert len(top) == 5
+        assert top[0]["score"] >= top[-1]["score"]
+        # Q2: similar to the best hit, excluding its own document
+        sim = similar_entities(sents, top[0]["url"], top[0]["sent_id"], k=5, cfg=cfg).take_all()
+        assert len(sim) == 5
+        assert all(r["url"] != top[0]["url"] for r in sim)
+        # Q3: point lookup keeps sentence order
+        rows = sentences_for_url(sents, top[0]["url"]).take_all()
+        assert [r["sent_id"] for r in rows] == sorted(r["sent_id"] for r in rows)
+        # Q6: manifest progress
+        prog = progress(out)
+        assert set(prog.loc[prog["stage"] == "docs", "state"]) == {"DONE"}

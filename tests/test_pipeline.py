@@ -22,24 +22,7 @@ from docprocai_service_ray.stages.materialize import build_triples, entity_map_t
 from docprocai_service_ray.stages.segment import build_sentences
 from docprocai_service_ray.stages.triple_extract import build_triples_raw
 
-N_PAGES = 300
-
-
-@pytest.fixture(scope="session")
-def corpus_path(tmp_path_factory):
-    p = tmp_path_factory.mktemp("corpus") / "web_pages"
-    os.makedirs(p, exist_ok=True)
-    pq.write_table(pages_table(42, list(range(N_PAGES))), str(p / "part-0.parquet"))
-    return str(p)
-
-
-@pytest.fixture(scope="session")
-def kg_result(corpus_path, tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("kgout"))
-    cfg = KGConfig()
-    res = run_kg(corpus_path, alias_dict_table(42, cfg.embedding_dim), cfg,
-                 out_dir=out, with_mentions=True)
-    return res, out, cfg
+N_PAGES = 300  # corpus_path / kg_result fixtures live in conftest.py
 
 
 def triple_key_set(rows):
@@ -158,7 +141,7 @@ class TestDistributedComponents:
     def test_label_propagation_matches_driver_unionfind(self, corpus_path, oracle_result):
         """Force the distributed min-label-propagation path and check it
         produces the same entity_map as the driver union-find."""
-        cfg = dataclasses.replace(KGConfig(), driver_unionfind_max=0)
+        cfg = dataclasses.replace(KGConfig(), driver_unionfind_max=0, driver_canon_max=0)
         pages = rd.read_parquet(corpus_path, columns=["url", "warc_ts", "html", "lang"])
         traw = build_triples_raw(build_sentences(build_docs(pages, cfg), cfg), cfg)
         alias_ref = ray.put(alias_dict_table(42, cfg.embedding_dim))

@@ -1,0 +1,56 @@
+"""Replicates the driver's correctness gate locally: run each Ray query and
+its DuckDB oracle on sf0.01, compare row count, column names and
+order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from docprocai_service_ray.pipelines.benchqueries import QUERIES, SQL
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        canon_row = []
+        for v in tup:
+            if isinstance(v, float):
+                canon_row.append(round(v, 6) if not math.isnan(v) else "nan")
+            else:
+                canon_row.append(v)
+        rows.append(tuple(canon_row))
+    return sorted(map(repr, rows))
+
+
+@pytest.mark.parametrize("name", sorted(SQL))
+def test_query_matches_oracle(name, duck):
+    ray_df = QUERIES[name](SF_DIR)
+    if hasattr(ray_df, "to_pandas"):
+        ray_df = ray_df.to_pandas()
+    sql_df = duck.execute(SQL[name]).fetchdf()
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} vs {list(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} vs {len(sql_df)}"
+    got, exp = _canon(ray_df), _canon(sql_df)
+    mism = [(g, e) for g, e in zip(got, exp) if g != e][:3]
+    assert got == exp, f"{name}: first value mismatches: {mism}"
