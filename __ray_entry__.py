@@ -183,6 +183,73 @@ def _quality_by_source(sf_dir: str):
     )
 
 
+def _kg_mentions(sf_dir: str):
+    import ray
+
+    from docprocai_service_ray.sources.webgen import alias_dict_table
+    from docprocai_service_ray.stages.mention import build_mentions
+
+    res = _kg_run(sf_dir)
+    alias_ref = ray.put(alias_dict_table(_CFG.seed, _CFG.embedding_dim))
+    m = build_mentions(res["triples_raw"], alias_ref, _CFG)
+    return m.select_columns(["url", "sent_id", "surface", "role", "cand_qid"])
+
+
+def _ngram_jaccard_dups(sf_dir: str):
+    """n-gram Jaccard near-dup (recall-oriented MinHash variant)."""
+    from docprocai_service_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = _kg_run(sf_dir)["docs"].select_columns(["url", "text"])
+    return ngram_jaccard_pairs(docs, "url", "text", shingle_words=3, threshold=0.6)
+
+
+def _media_features(sf_dir: str):
+    """Multimodal plumbing over real binary payloads: the corpus html
+    column plays the opaque media role (decode stubbed deterministically —
+    see stages/multimodal.py)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docprocai_service_ray.sources.webgen import ensure_corpus
+    from docprocai_service_ray.stages.multimodal import extract_media_features
+
+    corpus = ensure_corpus(500, _CFG.seed, _CFG.embedding_dim)
+    pages = rd.read_parquet(
+        os.path.join(corpus, "web_pages"), columns=["url", "html"]
+    )
+    media = pages.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "media_id": t["url"],
+                "kind": ["image"] * t.num_rows,
+                "payload": t["html"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = extract_media_features(media, feature_dim=16, batch_size=64)
+    return out.select_columns(["media_id", "kind", "width", "height", "n_frames", "n_bytes"])
+
+
+def _rolling_fingerprints(sf_dir: str):
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.textstats import bpe_ish_token_counts, rolling_fingerprint
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "rfp": rolling_fingerprint(df["text"]),
+                "bpe_tokens": bpe_ish_token_counts(df["text"]),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = dict(_BENCH_QUERIES)
     q.update(
@@ -198,6 +265,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_lsh_topk": _ann_lsh_topk,
             "lang_id_docs": _lang_id_docs,
             "quality_by_source": _quality_by_source,
+            "kg_mentions": _kg_mentions,
+            "ngram_jaccard_dups": _ngram_jaccard_dups,
+            "media_features": _media_features,
+            "rolling_fingerprints": _rolling_fingerprints,
         }
     )
     return q

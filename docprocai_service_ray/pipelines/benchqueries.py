@@ -440,6 +440,26 @@ def _query_vec(sf_dir: str) -> np.ndarray:
     return np.asarray(row["embedding"].to_pylist()[0], dtype=np.float64)
 
 
+def knn_topk_whitelist(sf_dir: str):
+    """Q1-shaped search with whitelist semi-join (J4): top-5 cosine among
+    labels {1,3,5} only."""
+    q = _query_vec(sf_dir)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    import pyarrow.compute as pc
+
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.not_equal(t["vec_id"], 0),
+                pc.is_in(t["label"], pa.array([1, 3, 5], pa.int32())),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    top = brute_force_topk(ds, q, 5, id_col="vec_id", extra_cols=("label",))
+    return top.map_batches(lambda df: df[["vec_id", "label"]], batch_format="pandas")
+
+
 def knn_topk_cosine(sf_dir: str):
     q = _query_vec(sf_dir)
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
@@ -547,9 +567,18 @@ SQL: dict[str, str] = {
         ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
         LIMIT 10
     """,
+    "knn_topk_whitelist": """
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0 AND e.label IN (1, 3, 5)
+        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+        LIMIT 5
+    """,
 }
 
 QUERIES = {
+    "knn_topk_whitelist": knn_topk_whitelist,
     "pricing_summary": pricing_summary,
     "topk_orders": topk_orders,
     "customer_min_order": customer_min_order,
