@@ -334,6 +334,21 @@ def asof_events_orders(sf_dir: str):
     )
 
 
+def session_stats_q(sf_dir: str):
+    """Gap-based session windows (streaming-shaped, §2.8)."""
+    from ..stages.windows import session_stats
+
+    return session_stats(_pq(sf_dir, "events", ["user_id", "ts"]), gap_minutes=30)
+
+
+def sliding_event_counts(sf_dir: str):
+    """Sliding 2h/1h windows per event type (rows-only; the overlapping
+    explode is awkward to express in portable SQL)."""
+    from ..stages.windows import sliding_counts
+
+    return sliding_counts(_pq(sf_dir, "events", ["ts", "event_type"]))
+
+
 # ---------------------------------------------------------- set ops / union
 
 def union_sources(sf_dir: str):
@@ -539,6 +554,18 @@ SQL: dict[str, str] = {
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         GROUP BY 1
     """,
+    "session_stats_q": """
+        WITH d AS (
+            SELECT user_id,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events)
+        SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM d GROUP BY 1
+    """,
     "union_sources": """
         SELECT 'doc' AS src, lang AS key, COUNT(*) AS n FROM documents GROUP BY 2
         UNION ALL
@@ -591,6 +618,8 @@ QUERIES = {
     "orders_lineitem_join": orders_lineitem_join,
     "asof_events_orders": asof_events_orders,
     "union_sources": union_sources,
+    "session_stats_q": session_stats_q,
+    "sliding_event_counts": sliding_event_counts,
     "exact_dedup_docs": exact_dedup_docs,
     "token_stats_by_lang": token_stats_by_lang,
     "doc_fingerprints": doc_fingerprints,

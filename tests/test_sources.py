@@ -1,0 +1,90 @@
+"""Source readers + windows tests."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from docprocai_service_ray.sources.readers import (
+    read_binary,
+    read_csv,
+    read_json,
+    read_parquet,
+    validate_schema,
+)
+from docprocai_service_ray.stages.windows import session_stats, sliding_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestReaders:
+    def test_parquet_column_pruning(self):
+        ds = read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+        assert ds.schema().names == ["o_orderkey"]
+        assert ds.count() == 1500
+
+    def test_parquet_filter_pushdown(self):
+        import pyarrow.compute as pc
+
+        ds = read_parquet(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus"],
+            filter=(pc.field("o_orderstatus") == "F"),
+        )
+        assert all(r["o_orderstatus"] == "F" for r in ds.take(50))
+
+    def test_csv_json_binary_roundtrip(self, tmp_path):
+        df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+        csv = tmp_path / "t.csv"
+        df.to_csv(csv, index=False)
+        assert read_csv(str(csv)).count() == 3
+        jsonl = tmp_path / "t.json"
+        df.to_json(jsonl, orient="records", lines=True)
+        assert read_json(str(jsonl)).count() == 3
+        binf = tmp_path / "blob.bin"
+        binf.write_bytes(b"\x00\x01payload")
+        rows = read_binary(str(binf)).take_all()
+        assert rows[0]["bytes"] == b"\x00\x01payload"
+        assert rows[0]["path"].endswith("blob.bin")
+
+    def test_validate_schema(self):
+        ds = read_parquet(f"{SF}/region.parquet")
+        good = pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())])
+        validate_schema(ds, good)
+        bad = pa.schema([("r_regionkey", pa.int64()), ("r_name", pa.string())])
+        with pytest.raises(ValueError, match="r_regionkey"):
+            validate_schema(ds, bad)
+        with pytest.raises(ValueError, match="names"):
+            validate_schema(ds, pa.schema([("x", pa.int32())]))
+
+
+class TestWindows:
+    def test_session_stats_matches_pandas(self):
+        ev = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime([
+                "2024-01-01 10:00", "2024-01-01 10:10",  # same session
+                "2024-01-01 12:00",                       # new session (gap > 30m)
+                "2024-01-01 09:00", "2024-01-02 09:00",  # two sessions
+            ]).astype("datetime64[us]"),
+        })
+        out = {r["user_id"]: (r["n_sessions"], r["n_events"])
+               for r in session_stats(rd.from_pandas(ev)).take_all()}
+        assert out == {1: (2, 3), 2: (2, 2)}
+
+    def test_sliding_counts_overlap(self):
+        ev = pd.DataFrame({
+            "ts": pd.to_datetime(["2024-01-01 10:30"]).astype("datetime64[us]"),
+            "event_type": ["click"],
+        })
+        rows = sliding_counts(rd.from_pandas(ev), window_minutes=120,
+                              slide_minutes=60).take_all()
+        # a single event must appear in exactly window/slide = 2 windows
+        assert sorted(r["window_start"] for r in rows) == [
+            "2024-01-01 09:00:00", "2024-01-01 10:00:00",
+        ]
+        assert all(r["n"] == 1 for r in rows)
