@@ -52,7 +52,7 @@ QUERY_NAMES = [
 def corpus_pages(sf_dir: str) -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir or "")
     sf = float(m.group(1)) if m else 0.1
-    return max(500, int(sf * 1_200_000))
+    return max(500, int(sf * 5_000_000))
 
 
 def run_headline(num_cpus: int, skip_queries: bool = False) -> dict:
@@ -129,15 +129,15 @@ def run_headline(num_cpus: int, skip_queries: bool = False) -> dict:
 def run_scaling() -> dict:
     """Same job at N=4 and 4N=16 CPUs in fresh processes; 1.0 = linear.
 
-    Each level runs three times and keeps the fastest run: a cold process
+    Each level runs twice and keeps the faster run: a cold process
     pays one-off costs (page cache, .pyc compile, worker spawn) and this
-    shared VM shows ±30% run-to-run noise; min-of-3 measures the
+    shared VM shows ±30% run-to-run noise; min-of-N measures the
     pipeline, not the neighbours."""
     lo, hi = 4, 16  # N and 4N (see module docstring for why not 8/32)
     results = {}
     for ncpu in (lo, hi):
         best = None
-        for _ in range(3):
+        for _ in range(2):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

@@ -1,0 +1,70 @@
+"""Head-entity skew behaviour + remaining Q-surface coverage."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from docprocai_service_ray.sources.webgen import gen_page, head_entities
+
+
+class TestSkew:
+    def test_corpus_is_deliberately_skewed(self, small_corpus):
+        """FIXTURES.md §2: a few head surfaces own ~20% of planted subject
+        mentions — the property the salted/partial aggregation paths are
+        designed for (SURVEY.md §7.4)."""
+        heads = {e.qid for e in head_entities(42)}
+        subj_counts: Counter = Counter()
+        for r in range(300):
+            for s, p, o in gen_page(42, r)["_facts"]:
+                subj_counts[s] += 1
+        total = sum(subj_counts.values())
+        head_share = sum(subj_counts[q] for q in heads) / total
+        assert 0.10 <= head_share <= 0.35, head_share
+        # and the head is far above a uniform share
+        assert max(subj_counts.values()) > 5 * (total / len(subj_counts))
+
+    def test_head_triples_aggregate_exactly(self, kg_result, oracle_result):
+        """The heaviest keys (most-duplicated triples) are exactly where the
+        two-phase merge could lose provenance/weight — check the top-10 by
+        weight against the oracle row-for-row."""
+        got = {
+            (t["subject_id"], t["pred"], t["object_id"]): t
+            for t in kg_result[0]["triples"].take_all()
+        }
+        top = sorted(oracle_result["triples"], key=lambda t: -t["weight"])[:10]
+        assert top[0]["weight"] > 5  # the skew actually produced heavy keys
+        for e in top:
+            g = got[(e["subject_id"], e["pred"], e["object_id"])]
+            assert g["weight"] == e["weight"]
+            assert g["prov_overflow"] == e["prov_overflow"]
+            assert sorted((p["url"], p["sent_id"]) for p in g["prov"]) == sorted(
+                (p["url"], p["sent_id"]) for p in e["prov"]
+            )
+
+    def test_head_surfaces_cluster_sizes(self, kg_result):
+        res, _, _ = kg_result
+        rows = {r["surface"]: r for r in res["entity_map"].take_all()}
+        for e in head_entities(42):
+            for v in e.variants:
+                if v in rows:
+                    assert rows[v]["canonical_id"] == e.qid
+
+
+class TestQ4Q5:
+    def test_triples_for_subject(self, kg_result):
+        from docprocai_service_ray.pipelines.queries import triples_for_subject
+
+        res, _, _ = kg_result
+        any_subj = res["triples"].take(1)[0]["subject_id"]
+        rows = triples_for_subject(res["triples"], any_subj).take_all()
+        assert rows and all(r["subject_id"] == any_subj for r in rows)
+        assert all(len(r["prov"]) >= 1 for r in rows)
+
+    def test_doc_for_url(self, kg_result):
+        from docprocai_service_ray.pipelines.queries import doc_for_url
+
+        res, _, _ = kg_result
+        url = res["docs"].take(1)[0]["url"]
+        rows = doc_for_url(res["docs"], url).take_all()
+        assert len(rows) == 1
+        assert rows[0]["n_chars"] == len(rows[0]["text"])
