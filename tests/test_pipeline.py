@@ -121,13 +121,17 @@ class TestResume:
             res["triples"].take_all()
         )
 
-    def test_resume_after_partial_failure(self, kg_result, corpus_path):
+    def test_resume_after_partial_failure(self, kg_result, corpus_path, tmp_path):
         """Kill-after-stage-k simulation: wipe the last stage, resume, get
-        identical output (idempotent partition overwrite, W6 analog)."""
+        identical output (idempotent partition overwrite, W6 analog).
+        Operates on a COPY of the checkpoint dir so the session fixture's
+        datasets keep valid file handles."""
         import shutil
 
-        res, out, cfg = kg_result
+        res, orig_out, cfg = kg_result
         expected = triple_key_set(res["triples"].take_all())
+        out = str(tmp_path / "kgout_copy")
+        shutil.copytree(orig_out, out)
         shutil.rmtree(os.path.join(out, "triples"))
         os.remove(os.path.join(out, "_manifest", "triples.json"))
         docs_mtime = os.path.getmtime(os.path.join(out, "docs"))
