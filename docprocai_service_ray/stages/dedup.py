@@ -87,26 +87,35 @@ class _MinhashSig:
         self.k, self.bands = k, bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
         o_band, o_id = [], []
         rows = self.a.shape[0] // self.bands
+        # polynomial rolling hash over per-word crc32s (uint64 wraparound is
+        # the mod): no per-shingle string joins — the word hashes are
+        # computed once and every k-window reduces with one matvec
+        bpow = (np.uint64(1099511628211) ** np.arange(self.k, dtype=np.uint64))
         for i, text in zip(ids, texts):
-            sh = word_shingles(text, self.k)
-            if not sh:
+            ws = _WORDS.findall((text or "").lower())
+            if not ws:
                 continue
-            hv = np.array(
-                sorted(
-                    int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "little")
-                    for s in sh
-                ),
-                dtype=np.uint64,
+            wh = np.fromiter(
+                (zlib.crc32(w.encode()) for w in ws), dtype=np.uint64, count=len(ws)
             )
+            if len(ws) <= self.k:
+                hv = np.array([(wh * bpow[: len(ws)]).sum()], dtype=np.uint64)
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(wh, self.k)
+                hv = (win * bpow).sum(axis=1)  # uint64 wrap == mod 2^64
+            hv = np.unique(hv)
             sig = minhash_signature(hv, self.a, self.b)
+            sig_bytes = sig.tobytes()
+            w = rows * 8
             for bi in range(self.bands):
-                chunk = sig[bi * rows : (bi + 1) * rows]
-                key = hashlib.blake2b(chunk.tobytes() + bytes([bi]), digest_size=8).digest()
-                o_band.append(int.from_bytes(key, "little"))
+                key = zlib.crc32(sig_bytes[bi * w : (bi + 1) * w], bi) | (bi << 32)
+                o_band.append(key)
                 o_id.append(i)
         return pa.Table.from_pydict(
             {"band": pa.array(o_band, pa.uint64()), "id": o_id}
