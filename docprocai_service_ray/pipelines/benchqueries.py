@@ -25,7 +25,6 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..config import KGConfig
 from ..stages.dedup import exact_dedup
 from ..stages.similarity import brute_force_topk
 from ..stages.textstats import fingerprint_md5, token_counts

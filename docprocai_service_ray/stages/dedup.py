@@ -31,9 +31,6 @@ _WORDS = re.compile(r"\S+")
 DEDUP_PAIR_CAP = 200  # per-bucket candidate cap (chain keeps connectivity)
 
 
-def _first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-    return g.sort_values(g.columns[0]).iloc[0:1]
-
 
 def exact_dedup(ds, id_col: str, text_col: str):
     """One row per distinct text: (id_col → min id, n_copies). The groupby
