@@ -194,6 +194,33 @@ def build_triples(triples_raw_ds, emap_ref: ray.ObjectRef, cfg: KGConfig):
     )
 
 
+def canonicalize_via_join(triples_raw_ds, entity_map_ds, *, buckets: int = 32):
+    """Scale path for surface→canonical mapping when the entity map is too
+    large to broadcast (SCALE.md §4): two bucketed left hash joins replace
+    the in-actor dict lookup. Unmapped surfaces keep their surface form
+    (same semantics as the broadcast path's ``emap.get(s, s)``)."""
+    import pandas as pd
+
+    from ..state.joins import hash_join
+
+    def _mapped(col: str):
+        return entity_map_ds.select_columns(["surface", "canonical_id"]).map_batches(
+            lambda df: pd.DataFrame({col: df["surface"], "__c": df["canonical_id"]}),
+            batch_format="pandas",
+        )
+
+    out = triples_raw_ds
+    for col in ("subj", "obj"):
+        out = hash_join(out, _mapped(col), on=col, how="left", buckets=buckets)
+        out = out.map_batches(
+            lambda df, c=col: df.assign(**{c: df["__c"].fillna(df[c])}).drop(
+                columns="__c"
+            ),
+            batch_format="pandas",
+        )
+    return out
+
+
 def entity_map_to_dict(entity_map_ds) -> dict[str, str]:
     """Collect the (vocab-sized) entity map for broadcast."""
     return {
