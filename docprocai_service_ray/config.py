@@ -59,6 +59,9 @@ class KGConfig:
     triple_batch_size: int = 1024
     embed_batch_size: int = 2048
     actor_pool_size: int = 4         # concurrency for stateful stages in tests; bench overrides
+    # ---- language filter (S1 dispatch analog; FIXTURES: non-en rows
+    # exercise filters). None = process every language ----
+    filter_langs: tuple[str, ...] | None = None
     # ---- corpus generation (synthetic web_pages; FIXTURES.md §1) ----
     seed: int = 42
 

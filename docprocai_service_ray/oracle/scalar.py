@@ -30,8 +30,11 @@ from ..functions.sentences import split_sentences
 from ..functions.triples import extract_triples
 
 
-def oracle_docs(pages: list[dict]) -> list[dict]:
-    """url-dedup (last warc_ts wins), extract, drop empty-text rows."""
+def oracle_docs(pages: list[dict], cfg: KGConfig | None = None) -> list[dict]:
+    """url-dedup (last warc_ts wins), extract, drop empty-text rows;
+    optional language filter (mirrors stages/extract.filter_langs)."""
+    if cfg is not None and cfg.filter_langs:
+        pages = [p for p in pages if p["lang"] in cfg.filter_langs]
     by_url: dict[str, dict] = {}
     for p in pages:
         cur = by_url.get(p["url"])
@@ -175,7 +178,7 @@ def oracle_triples(
 def run_oracle(pages: list[dict], alias_table: pa.Table, cfg: KGConfig | None = None) -> dict:
     """Full sequential pipeline; returns dict of plain-Python stage outputs."""
     cfg = cfg or KGConfig()
-    docs = oracle_docs(pages)
+    docs = oracle_docs(pages, cfg)
     sents = oracle_sentences(docs)
     traw = oracle_triples_raw(sents)
     surfaces = {t["subj"] for t in traw} | {t["obj"] for t in traw}

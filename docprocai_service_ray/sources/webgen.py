@@ -71,8 +71,33 @@ _FILLERS = [
     "Analysts who works for nobody were not consulted.",
 ]
 
+_FILLERS_BY_LANG = {
+    "de": [
+        "Das Wetter ist in der Region mit der Zeit deutlich milder geworden.",
+        "Die Sitzung wurde auf ein späteres Datum verschoben und vertagt.",
+        "Mehrere Leser haben Fragen zu dem neuen Zeitplan eingereicht.",
+        "Weitere Einzelheiten folgen in einem kommenden Bericht für alle.",
+        "Der Ausschuss hat die Entscheidung auf den nächsten Monat verschoben.",
+        "Ein kurzer Regenschauer unterbrach die Veranstaltung am Nachmittag.",
+    ],
+    "fr": [
+        "La réunion a été reportée pour la semaine prochaine dans la salle.",
+        "Plusieurs lecteurs ont envoyé des questions sur le programme.",
+        "Les détails suivront dans un prochain rapport pour le public.",
+        "Le comité a repoussé sa décision au mois prochain sans un vote.",
+        "Une brève averse a interrompu la séance dans un après-midi calme.",
+        "Le temps est resté doux pendant la plus grande partie du trimestre.",
+    ],
+}
+
 _PAD = ("Additional background material and archived notes are collected here "
         "for completeness and easy reference by returning visitors. ")
+_PAD_BY_LANG = {
+    "de": ("Zusätzliches Hintergrundmaterial und archivierte Notizen sind hier "
+           "für wiederkehrende Besucher mit der Zeit gesammelt worden. "),
+    "fr": ("Des documents de fond et des notes archivées sont rassemblés ici "
+           "pour les visiteurs avec une référence facile et complète. "),
+}
 
 
 @dataclass(frozen=True)
@@ -205,13 +230,14 @@ def _core_page(seed: int, row: int) -> tuple[bytes, str, list[tuple[str, str, st
         n_sents *= 10
     sents: list[str] = []
     facts: list[tuple[str, str, str]] = []
+    fillers = _FILLERS_BY_LANG.get(lang, _FILLERS)  # non-en pages read in-language
     for _ in range(n_sents):
         if lang == "en" and rng.random() < 0.6:
             s, f = make_fact_sentence(rng, seed)
             sents.append(s)
             facts.append(f)
         else:
-            sents.append(_FILLERS[rng.randrange(len(_FILLERS))])
+            sents.append(fillers[rng.randrange(len(fillers))])
     title = f"Notes from site {row % 211} page {row}"
     paras: list[str] = []
     i = 0
@@ -220,8 +246,9 @@ def _core_page(seed: int, row: int) -> tuple[bytes, str, list[tuple[str, str, st
         paras.append("<p>" + " ".join(sents[i : i + k]) + "</p>")
         i += k
     n_pad = rng.randint(0, 20) * (10 if heavy else 1)
+    pad = _PAD_BY_LANG.get(lang, _PAD)
     for _ in range(n_pad):
-        paras.append("<p>" + _PAD * rng.randint(1, 4) + "</p>")
+        paras.append("<p>" + pad * rng.randint(1, 4) + "</p>")
     html = (
         "<html><head><title>" + title + "</title>"
         "<style>body{font:14px sans;}nav{color:#333}</style></head>"
@@ -365,14 +392,23 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42, dim: int = 64,
     return out_dir
 
 
+GEN_VERSION = 2  # bump when generated content changes, to invalidate caches
+
+
 def ensure_corpus(n_rows: int, seed: int = 42, dim: int = 64,
                   base: str = "/tmp/raykg_corpus") -> str:
-    """Cached corpus dir keyed by (n_rows, seed); generated once."""
-    out = os.path.join(base, f"n{n_rows}_s{seed}_d{dim}")
+    """Cached corpus dir keyed by (n_rows, seed, generator version);
+    generated once, concurrency-safe (advisory lock)."""
+    from ..state.manifest import dir_lock
+
+    out = os.path.join(base, f"n{n_rows}_s{seed}_d{dim}_v{GEN_VERSION}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
-    write_corpus(out, n_rows, seed, dim)
-    with open(marker, "w") as f:
-        f.write("ok")
+    with dir_lock(base, f".lock_n{n_rows}_s{seed}"):
+        if os.path.exists(marker):  # another process generated it meanwhile
+            return out
+        write_corpus(out, n_rows, seed, dim)
+        with open(marker, "w") as f:
+            f.write("ok")
     return out

@@ -119,11 +119,26 @@ def dedup_urls(docs_ds, cfg: KGConfig):
 
 def extract_docs(pages_ds, cfg: KGConfig):
     """web_pages Dataset → raw extracted docs (not yet url-deduped)."""
+    pages_ds = filter_langs(pages_ds, cfg)
     return pages_ds.map_batches(
         extract_batch,
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
         zero_copy_batch=True,
+    )
+
+
+def filter_langs(ds, cfg: KGConfig):
+    """Optional language dispatch (the content-type-dispatch analog of
+    DocumentProcessor.py:25-30): drop rows whose lang isn't configured.
+    Applied pre-extraction so filtered html is never parsed."""
+    if not cfg.filter_langs:
+        return ds
+    import pyarrow.compute as pc
+
+    langs = pa.array(sorted(cfg.filter_langs))
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["lang"], langs)), batch_format="pyarrow"
     )
 
 

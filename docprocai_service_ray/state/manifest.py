@@ -12,6 +12,8 @@ idempotent-overwrite analog — a re-run replaces the partition files).
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import shutil
@@ -19,6 +21,21 @@ import time
 import uuid
 
 MANIFEST_DIR = "_manifest"
+
+
+@contextlib.contextmanager
+def dir_lock(path: str, name: str = ".lock"):
+    """Advisory file lock serializing writers of one output dir — two
+    driver processes resuming the same out_dir must not interleave the
+    rmtree/rename of a stage."""
+    os.makedirs(path, exist_ok=True)
+    fd = os.open(os.path.join(path, name), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _manifest_path(out_dir: str, stage: str) -> str:
@@ -66,9 +83,10 @@ def write_stage(
     t0 = time.monotonic()
     ds.write_parquet(tmp, **(write_kwargs or {}))
     wall = time.monotonic() - t0
-    if os.path.isdir(final):
-        shutil.rmtree(final)  # idempotent overwrite (W6 analog)
-    os.rename(tmp, final)
+    with dir_lock(out_dir):
+        if os.path.isdir(final):
+            shutil.rmtree(final)  # idempotent overwrite (W6 analog)
+        os.rename(tmp, final)
     n_files = sum(
         len([f for f in fs if f.endswith(".parquet")])
         for _, _, fs in os.walk(final)

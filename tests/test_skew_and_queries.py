@@ -50,6 +50,45 @@ class TestSkew:
                     assert rows[v]["canonical_id"] == e.qid
 
 
+class TestLangFilter:
+    def test_filter_langs_matches_oracle(self, corpus_path, small_corpus):
+        import dataclasses
+
+        import ray.data as rd
+
+        from docprocai_service_ray.config import KGConfig
+        from docprocai_service_ray.oracle.scalar import oracle_docs
+        from docprocai_service_ray.stages.extract import build_docs
+
+        cfg = dataclasses.replace(KGConfig(), filter_langs=("en",))
+        pages_ds = rd.read_parquet(corpus_path, columns=["url", "warc_ts", "html", "lang"])
+        got = {r["url"]: r["text"] for r in build_docs(pages_ds, cfg).take_all()}
+        pages, _ = small_corpus
+        exp = {d["url"]: d["text"] for d in oracle_docs(pages, cfg)}
+        assert got == exp
+        assert len(got) < 300  # non-en pages actually dropped
+
+    def test_non_en_pages_read_in_language(self):
+        """FIXTURES: non-en rows must exercise language filters — the
+        heuristic lang-ID over extracted de/fr pages should agree with the
+        generated lang column."""
+        import pandas as pd
+
+        from docprocai_service_ray.functions.html_extract import extract_text
+        from docprocai_service_ray.stages.textstats import lang_id
+
+        checked = 0
+        for r in range(600):
+            p = gen_page(42, r)
+            if p["lang"] in ("de", "fr") and p["html"]:
+                text = extract_text(p["html"])
+                body = "\n".join(text.split("\n")[1:])  # drop the en title line
+                if len(body) > 200:
+                    assert lang_id(pd.Series([body])).iloc[0] == p["lang"]
+                    checked += 1
+        assert checked >= 10
+
+
 class TestQ4Q5:
     def test_triples_for_subject(self, kg_result):
         from docprocai_service_ray.pipelines.queries import triples_for_subject
