@@ -35,6 +35,21 @@ def _pq(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _grouped_final(partials, keys: list[str], agg: dict, post=None,
+                   num_partitions: int = 16):
+    """Vectorized final merge of per-batch partial aggregates: one pandas
+    groupby.agg per hash partition (state/groupby.partition_reduce) instead
+    of one Python call per key. ``agg``: out_col -> (in_col, fn);
+    ``post(df) -> df`` applies rounding/casts."""
+    from ..state.groupby import partition_reduce
+
+    def reduce(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby(keys, as_index=False).agg(**agg)
+        return post(out) if post else out
+
+    return partition_reduce(partials, keys, reduce, num_partitions=num_partitions)
+
+
 def _arrow(ds):
     return ds.map_batches(lambda t: t, batch_format="pyarrow")
 
@@ -96,16 +111,11 @@ def customer_min_order(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("o_custkey", as_index=False).agg(m=("o_totalprice", "min"))
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "o_custkey": [g["o_custkey"].iloc[0]],
-            "min_totalprice": [round(float(g["m"].min()), 2)],
-        })
-
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .map_groups(final, batch_format="pandas")
+    return _grouped_final(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"],
+        {"min_totalprice": ("m", "min")},
+        post=lambda df: df.assign(min_totalprice=df["min_totalprice"].round(2)),
     )
 
 
@@ -120,18 +130,13 @@ def hourly_events(sf_dir: str):
             n=("value", "size"), s=("value", "sum")
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "hour": [g["hour"].iloc[0]],
-            "event_type": [g["event_type"].iloc[0]],
-            "n": [np.int64(g["n"].sum())],
-            "sum_value": [round(float(g["s"].sum()), 2)],
-        })
-
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["hour", "event_type"])
-        .map_groups(final, batch_format="pandas")
+    return _grouped_final(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["hour", "event_type"],
+        {"n": ("n", "sum"), "sum_value": ("s", "sum")},
+        post=lambda df: df.assign(
+            n=df["n"].astype("int64"), sum_value=df["sum_value"].round(2)
+        ),
     )
 
 
@@ -160,16 +165,12 @@ def json_props_sum(sf_dir: str):
             .agg(s=("k", "sum"))
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "sum_k": [np.int64(g["s"].sum())],
-        })
-
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("event_type")
-        .map_groups(final, batch_format="pandas")
+    return _grouped_final(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"sum_k": ("s", "sum")},
+        post=lambda df: df.assign(sum_k=df["sum_k"].astype("int64")),
+        num_partitions=4,
     )
 
 
@@ -188,17 +189,15 @@ def mktsegment_revenue(sf_dir: str):
             n=("o_totalprice", "size"), s=("o_totalprice", "sum")
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "c_mktsegment": [g["c_mktsegment"].iloc[0]],
-            "order_count": [np.int64(g["n"].sum())],
-            "revenue": [round(float(g["s"].sum()), 2)],
-        })
-
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("c_mktsegment")
-        .map_groups(final, batch_format="pandas")
+    return _grouped_final(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["c_mktsegment"],
+        {"order_count": ("n", "sum"), "revenue": ("s", "sum")},
+        post=lambda df: df.assign(
+            order_count=df["order_count"].astype("int64"),
+            revenue=df["revenue"].round(2),
+        ),
+        num_partitions=4,
     )
 
 
@@ -214,17 +213,14 @@ def large_part_lineitems(sf_dir: str):
             n=("l_extendedprice", "size"), s=("l_extendedprice", "sum")
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "l_returnflag": [g["l_returnflag"].iloc[0]],
-            "n": [np.int64(g["n"].sum())],
-            "total": [round(float(g["s"].sum()), 2)],
-        })
-
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("l_returnflag")
-        .map_groups(final, batch_format="pandas")
+    return _grouped_final(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag"],
+        {"n": ("n", "sum"), "total": ("s", "sum")},
+        post=lambda df: df.assign(
+            n=df["n"].astype("int64"), total=df["total"].round(2)
+        ),
+        num_partitions=4,
     )
 
 
