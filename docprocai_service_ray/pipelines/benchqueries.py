@@ -344,6 +344,61 @@ def sliding_event_counts(sf_dir: str):
     return sliding_counts(_pq(sf_dir, "events", ["ts", "event_type"]))
 
 
+def region_customer_rollup(sf_dir: str):
+    """Three-way dimension join (region ⋈ nation ⋈ customer) with both tiny
+    dims broadcast — the star-schema lookup shape."""
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = ray.put((n2r, r2name))
+    ds = _pq(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n2r_, r2name_ = ray.get(ref)
+        rname = df["c_nationkey"].map(n2r_).map(r2name_)
+        return (
+            df.assign(r_name=rname)
+            .groupby("r_name", as_index=False)
+            .agg(n=("c_acctbal", "size"), s=("c_acctbal", "sum"))
+        )
+
+    return _grouped_final(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["r_name"],
+        {"customers": ("n", "sum"), "total_acctbal": ("s", "sum")},
+        post=lambda df: df.assign(
+            customers=df["customers"].astype("int64"),
+            total_acctbal=df["total_acctbal"].round(2),
+        ),
+        num_partitions=4,
+    )
+
+
+def supplier_nation_stats(sf_dir: str):
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    ds = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(ref)
+        return (
+            df.assign(n_name=df["s_nationkey"].map(nm))
+            .groupby("n_name", as_index=False)
+            .agg(n=("s_acctbal", "size"), s=("s_acctbal", "sum"))
+        )
+
+    return _grouped_final(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["n_name"],
+        {"suppliers": ("n", "sum"), "s_total": ("s", "sum")},
+        post=lambda df: df.assign(
+            suppliers=df["suppliers"].astype("int64"), s_total=df["s_total"].round(2)
+        ),
+        num_partitions=4,
+    )
+
+
 # ---------------------------------------------------------- set ops / union
 
 def union_sources(sf_dir: str):
@@ -549,6 +604,16 @@ SQL: dict[str, str] = {
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         GROUP BY 1
     """,
+    "region_customer_rollup": """
+        SELECT r_name, COUNT(*) AS customers, ROUND(SUM(c_acctbal), 2) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1
+    """,
+    "supplier_nation_stats": """
+        SELECT n_name, COUNT(*) AS suppliers, ROUND(SUM(s_acctbal), 2) AS s_total
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1
+    """,
     "session_stats_q": """
         WITH d AS (
             SELECT user_id,
@@ -615,6 +680,8 @@ QUERIES = {
     "union_sources": union_sources,
     "session_stats_q": session_stats_q,
     "sliding_event_counts": sliding_event_counts,
+    "region_customer_rollup": region_customer_rollup,
+    "supplier_nation_stats": supplier_nation_stats,
     "exact_dedup_docs": exact_dedup_docs,
     "token_stats_by_lang": token_stats_by_lang,
     "doc_fingerprints": doc_fingerprints,

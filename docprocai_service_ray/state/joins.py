@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -58,10 +59,6 @@ def anti_join_filter(ds, column: str, keys_ref: ray.ObjectRef):
         )
 
     return ds.map_batches(_filter, batch_format="pyarrow")
-
-
-def _bucket_of(values: Iterable, buckets: int, seed: int) -> list[int]:
-    return [stable_u64(str(v), seed) % buckets for v in values]
 
 
 def hash_join(
@@ -103,7 +100,8 @@ def hash_join(
                 if c not in batch.columns:
                     batch[c] = None
             batch = batch[superset]
-            batch["__bucket"] = _bucket_of(key0.tolist(), buckets, seed)
+            h = pd.util.hash_pandas_object(key0, index=False)  # vectorized, stable
+            batch["__bucket"] = ((h + np.uint64(seed)) % buckets).astype("int64")
             batch["__side"] = side
             return batch
 
