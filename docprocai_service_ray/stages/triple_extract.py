@@ -32,13 +32,29 @@ TRIPLES_RAW_SCHEMA = pa.schema(
 
 
 class TripleExtractor:
-    """Callable class → Ray Data actor pool; pattern compiled once/actor."""
+    """Callable class → Ray Data actor pool; pattern compiled once/actor.
+
+    A vectorized Arrow prefilter (``match_substring_regex`` on the phrase
+    alternation — a strict superset of full-pattern matches) drops the
+    sentences that cannot possibly contain a triple before any Python-level
+    regex runs; on prose-heavy corpora that is most of them."""
 
     def __init__(self, cfg: KGConfig):
+        import re
+
+        from ..functions.triples import PREDICATES
+
         self.pattern = compile_pattern()
+        self.prefilter = "|".join(
+            re.escape(p) for p in sorted(PREDICATES.values(), key=len, reverse=True)
+        )
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.match_substring_regex(batch["text"], self.prefilter)
+        batch = batch.filter(mask)
         urls = batch["url"].to_pylist()
         tss = batch["warc_ts"].to_pylist()
         sids = batch["sent_id"].to_pylist()
