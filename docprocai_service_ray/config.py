@@ -56,7 +56,10 @@ class KGConfig:
                                      # never silently dropped — manifest records the cap)
     # ---- execution ----
     extract_batch_size: int = 256    # html rows per batch (rows are KB..MB: keep batches small)
-    triple_batch_size: int = 1024
+    triple_batch_size: int = 1024    # sentence rows per extraction batch
+    agg_batch_size: int = 32768      # triple rows per phase-0 partial-agg batch:
+                                     # compression grows with batch size (distinct
+                                     # keys saturate), and a batch is only ~6 MB
     embed_batch_size: int = 2048
     actor_pool_size: int = 4         # concurrency for stateful stages in tests; bench overrides
     # ---- language filter (S1 dispatch analog; FIXTURES: non-en rows

@@ -176,7 +176,7 @@ def build_triples(triples_raw_ds, emap_ref: ray.ObjectRef, cfg: KGConfig):
         _PartialAgg,
         fn_constructor_kwargs={"emap_ref": emap_ref, "cfg": cfg, "num_parts": num_parts},
         batch_format="pyarrow",
-        batch_size=cfg.triple_batch_size,
+        batch_size=cfg.agg_batch_size,
         concurrency=pool_size(cfg.actor_pool_size),
         num_cpus=1,
     )
@@ -189,7 +189,12 @@ def build_triples(triples_raw_ds, emap_ref: ray.ObjectRef, cfg: KGConfig):
         batch_format="pyarrow",
         batch_size=None,  # whole-block merges
     )
-    return lvl1.groupby("part").map_groups(
+    lvl2 = lvl1.repartition(max(8, cpus // 2)).map_batches(
+        lambda g: _merge_payloads(g, cfg, num_parts),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return lvl2.groupby("part").map_groups(
         lambda g: _merge_partition(g, cfg), batch_format="pyarrow"
     )
 
