@@ -69,9 +69,13 @@ def run_kg(
         # filter needs every url seen), (2) segment → triple-extract
         # pipelined into a materialized triples_raw. Everything else is
         # vocab-sized. No intermediate parquet; maximal stage overlap.
+        from ..stages.triple_extract import build_triples_raw_fused
+
         docs = build_docs(read_web_pages(pages_path), cfg)
+        # fused segment+extract: the sentences table is derived lazily for
+        # consumers that want it, but the triple path never materializes it
         sentences = build_sentences(docs, cfg)
-        triples_raw = build_triples_raw(sentences, cfg).materialize()
+        triples_raw = build_triples_raw_fused(docs, cfg).materialize()
         out: dict = {"docs": docs, "sentences": sentences, "triples_raw": triples_raw}
         if with_mentions:
             out["mentions"] = build_mentions(triples_raw, alias_ref, cfg)

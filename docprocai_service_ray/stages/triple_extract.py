@@ -90,3 +90,61 @@ def build_triples_raw(sentences_ds, cfg: KGConfig):
         concurrency=pool_size(cfg.actor_pool_size),
         num_cpus=1,
     )
+
+
+class FusedSegmentTripleExtractor:
+    """Operator fusion for the streaming path: docs → triples_raw in ONE
+    batch fn. Semantically identical to segment_batch ∘ TripleExtractor
+    (parity-tested), but the ~20-sentences-per-doc intermediate rows never
+    become an Arrow table — only sentences that survive the predicate
+    prefilter pay any per-row cost."""
+
+    def __init__(self, cfg: KGConfig):
+        from ..functions.sentences import split_sentences
+        from ..functions.triples import PREDICATES
+
+        self.pattern = compile_pattern()
+        self.split = split_sentences
+        self.phrases = tuple(PREDICATES.values())
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        tss = batch["warc_ts"].to_pylist()
+        texts = batch["text"].to_pylist()
+        cols: dict[str, list] = {n: [] for n in TRIPLES_RAW_SCHEMA.names}
+        phrases = self.phrases
+        for url, ts, text in zip(urls, tss, texts):
+            for sent_id, stext, _, _ in self.split(text or ""):
+                if not any(p in stext for p in phrases):  # cheap prefilter
+                    continue
+                for subj, pred, obj, ss, sl, os_, ol, conf in extract_triples(
+                    stext, self.pattern
+                ):
+                    cols["url"].append(url)
+                    cols["warc_ts"].append(ts)
+                    cols["sent_id"].append(sent_id)
+                    cols["subj"].append(subj)
+                    cols["pred"].append(pred)
+                    cols["obj"].append(obj)
+                    cols["subj_start"].append(ss)
+                    cols["subj_len"].append(sl)
+                    cols["obj_start"].append(os_)
+                    cols["obj_len"].append(ol)
+                    cols["conf"].append(conf)
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in TRIPLES_RAW_SCHEMA],
+            schema=TRIPLES_RAW_SCHEMA,
+        )
+
+
+def build_triples_raw_fused(docs_ds, cfg: KGConfig):
+    """docs → triples_raw without an intermediate sentences table."""
+    return docs_ds.select_columns(["url", "warc_ts", "text"]).map_batches(
+        FusedSegmentTripleExtractor,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=pool_size(cfg.actor_pool_size),
+        num_cpus=1,
+    )
