@@ -67,7 +67,13 @@ def extract_batch(batch: pa.Table) -> pa.Table:
 def dedup_urls(docs_ds, cfg: KGConfig):
     """Keep the max (warc_ts, content_hash) row per url without shuffling
     text: project → groupby(url) over the tiny projection → collect ONLY
-    duplicated urls → broadcast winners → filter."""
+    duplicated urls → broadcast winners → filter.
+
+    Edge case: rows that tie on ALL of (url, warc_ts, content_hash) are
+    byte-identical records; the filter keeps every copy (the winner match
+    is by value). A crawl cannot produce distinguishable duplicates this
+    way — the rows are indistinguishable — but exact multiplicity of such
+    ties is not preserved."""
     import pandas as pd
 
     from ..state.groupby import partition_reduce

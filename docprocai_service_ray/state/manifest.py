@@ -91,12 +91,19 @@ def write_stage(
         len([f for f in fs if f.endswith(".parquet")])
         for _, _, fs in os.walk(final)
     )
+    try:
+        import pyarrow.dataset as pads
+
+        rows_out = pads.dataset(final).count_rows()  # parquet metadata only
+    except Exception:
+        rows_out = None
     row = {
         "stage": stage,
         "state": "DONE",
         "wall_s": round(wall, 3),
         "output_path": final,
         "n_files": n_files,
+        "rows_out": rows_out,
         **(extra or {}),
     }
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
