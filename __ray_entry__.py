@@ -29,6 +29,10 @@ from docprocai_service_ray.pipelines.benchqueries import SQL as _BENCH_SQL
 
 _CFG = KGConfig()
 
+# bump when pipeline SEMANTICS change so stale /tmp checkpoints from an
+# earlier code version can never satisfy a resume
+_PIPELINE_VERSION = "v2"
+
 
 def _kg_run(sf_dir: str) -> dict:
     """Synthetic KG corpus sized by the sf in ``sf_dir``; stage outputs are
@@ -40,7 +44,7 @@ def _kg_run(sf_dir: str) -> dict:
     sf = float(m.group(1)) if m else 0.001
     n = max(300, int(sf * 200_000))
     corpus = ensure_corpus(n, _CFG.seed, _CFG.embedding_dim)
-    out = f"/tmp/raykg_out/n{n}_s{_CFG.seed}"
+    out = f"/tmp/raykg_out/{_PIPELINE_VERSION}_n{n}_s{_CFG.seed}"
     return run_kg(
         os.path.join(corpus, "web_pages"),
         alias_dict_table(_CFG.seed, _CFG.embedding_dim),

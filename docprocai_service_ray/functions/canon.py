@@ -30,7 +30,9 @@ from .hashing import (
     surface_shingle_hashes,
 )
 
-PAIR_CAP = 50  # bucket size above which all-pairs degrades to a chain
+PAIR_CAP = 50  # bucket size above which all-pairs degrades to a star
+
+_log = __import__("logging").getLogger(__name__)
 
 
 def surface_bands(surface: str, a: np.ndarray, b: np.ndarray, k: int, bands: int) -> list[int]:
@@ -41,14 +43,17 @@ def surface_bands(surface: str, a: np.ndarray, b: np.ndarray, k: int, bands: int
 
 def bucket_candidate_pairs(surfaces: list[str], pair_cap: int = PAIR_CAP) -> list[tuple[str, str]]:
     """Candidate pairs within one band bucket. Deterministic: surfaces are
-    sorted; small buckets emit all pairs, large buckets a consecutive chain
-    (same connected components pre-verification, bounded work)."""
+    sorted; small buckets emit all pairs, large buckets a STAR on the min
+    member (same pre-verification connectivity at O(n) pairs, but component
+    diameter stays 2 so distributed min-label propagation converges in O(1)
+    rounds — a consecutive chain would need O(bucket size) rounds)."""
     ss = sorted(set(surfaces))
     if len(ss) < 2:
         return []
     if len(ss) <= pair_cap:
         return [(ss[i], ss[j]) for i in range(len(ss)) for j in range(i + 1, len(ss))]
-    return [(ss[i], ss[i + 1]) for i in range(len(ss) - 1)]
+    _log.warning("bucket pair cap engaged: %d surfaces > cap %d, star-capped", len(ss), pair_cap)
+    return [(ss[0], ss[i]) for i in range(1, len(ss))]
 
 
 def verify_pair(s1: str, s2: str, k: int, threshold: float) -> bool:

@@ -54,12 +54,13 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
     """
     if shingle_hashes.size == 0:
         return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = shingle_hashes.astype(np.uint64).reshape(-1, 1)
-    # (a*x + b) mod p in python-int free numpy: use object-free modmul via
-    # uint64 overflow-safe splitting — p < 2^61 so a*x can overflow; compute
-    # in float-free 128-bit via np.uint64 pairwise mulmod is costly. Shingle
-    # hashes are < 2^32 (crc32) so a*x < 2^61+32 fits... not in uint64.
-    # Instead reduce a mod 2^31 as a2 and use (a2*x + b) mod p: a2*x < 2^63.
+    # inputs are masked to 32 bits so the affine step stays inside the
+    # intended universal-hash family for ANY caller (crc32 shingles are
+    # already < 2^32; 64-bit rolling-window hashes from document-level
+    # shingling get reduced here instead of wrapping mod 2^64)
+    x = (shingle_hashes.astype(np.uint64) & np.uint64(0xFFFFFFFF)).reshape(-1, 1)
+    # (a*x + b) mod p without 128-bit ints: reduce a mod 2^31 as a2, then
+    # a2*x < 2^63 and a2*x + b < 2^63 + 2^61 fits uint64 before the mod-p.
     a2 = (a % np.uint64(1 << 31)) | np.uint64(1)
     hv = (a2 * x + b) % np.uint64(_MERSENNE_P)
     return hv.min(axis=0)

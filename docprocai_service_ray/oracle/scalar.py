@@ -31,32 +31,30 @@ from ..functions.triples import extract_triples
 
 
 def oracle_docs(pages: list[dict], cfg: KGConfig | None = None) -> list[dict]:
-    """url-dedup (last warc_ts wins), extract, drop empty-text rows;
-    optional language filter (mirrors stages/extract.filter_langs)."""
+    """Extract EVERY capture, url-dedup by max (warc_ts, content_hash),
+    then drop empty-text winners; optional language filter. Step order and
+    tie-break match stages/extract.py exactly (extract → dedup → empty-drop,
+    so an empty LATEST capture drops its url; byte-identical full ties keep
+    one copy)."""
     if cfg is not None and cfg.filter_langs:
         pages = [p for p in pages if p["lang"] in cfg.filter_langs]
     by_url: dict[str, dict] = {}
     for p in pages:
+        text = extract_text(p["html"]) or ""
+        row = {
+            "url": p["url"],
+            "warc_ts": p["warc_ts"],
+            "lang": p["lang"],
+            "text": text,
+            "n_chars": len(text),
+            "content_hash": content_hash(text),
+        }
         cur = by_url.get(p["url"])
-        if cur is None or p["warc_ts"] > cur["warc_ts"]:
-            by_url[p["url"]] = p
-    docs = []
-    for url in sorted(by_url):
-        p = by_url[url]
-        text = extract_text(p["html"])
-        if not text:
-            continue  # boilerplate-only / empty page skip (PdfProcessor.py:53-59 analog)
-        docs.append(
-            {
-                "url": url,
-                "warc_ts": p["warc_ts"],
-                "lang": p["lang"],
-                "text": text,
-                "n_chars": len(text),
-                "content_hash": content_hash(text),
-            }
-        )
-    return docs
+        if cur is None or (row["warc_ts"], row["content_hash"]) > (
+            cur["warc_ts"], cur["content_hash"]
+        ):
+            by_url[p["url"]] = row
+    return [by_url[url] for url in sorted(by_url) if by_url[url]["text"]]
 
 
 def oracle_sentences(docs: list[dict]) -> list[dict]:

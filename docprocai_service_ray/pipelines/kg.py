@@ -23,7 +23,7 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, KGConfig
 from ..stages.canonicalize import build_entity_map
-from ..stages.extract import build_docs, dedup_urls, extract_docs
+from ..stages.extract import build_docs, dedup_urls, drop_empty, extract_docs
 from ..stages.materialize import build_triples, entity_map_to_dict
 from ..stages.mention import build_mentions
 from ..stages.segment import build_sentences
@@ -95,7 +95,9 @@ def run_kg(
         "docs_raw",
         resume,
     )
-    docs = checkpointed(lambda: dedup_urls(docs_raw, cfg), out_dir, "docs", resume)
+    docs = checkpointed(
+        lambda: drop_empty(dedup_urls(docs_raw, cfg)), out_dir, "docs", resume
+    )
     sentences = checkpointed(
         lambda: build_sentences(docs, cfg), out_dir, "sentences", resume
     )

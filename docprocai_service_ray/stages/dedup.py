@@ -28,8 +28,9 @@ from ..functions.hashing import jaccard, minhash_params, minhash_signature, simh
 from .common import pool_size
 
 _WORDS = re.compile(r"\S+")
-DEDUP_PAIR_CAP = 200  # per-bucket candidate cap (chain keeps connectivity)
+DEDUP_PAIR_CAP = 200  # per-bucket candidate cap (star keeps connectivity)
 
+_log = __import__("logging").getLogger(__name__)
 
 
 def exact_dedup(ds, id_col: str, text_col: str):
@@ -67,12 +68,15 @@ def word_shingles(text: str, k: int) -> set[str]:
 
 
 def _pairs_in_bucket(ids: list, cap: int) -> list[tuple]:
+    """All pairs for small buckets; a star on the min id above ``cap``
+    (O(n) pairs, connectivity preserved, component diameter 2)."""
     ids = sorted(set(ids))
     if len(ids) < 2:
         return []
     if len(ids) <= cap:
         return [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-    return [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    _log.warning("dedup pair cap engaged: bucket of %d ids > cap %d, star-capped", len(ids), cap)
+    return [(ids[0], ids[i]) for i in range(1, len(ids))]
 
 
 class _MinhashSig:
@@ -269,17 +273,51 @@ def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3):
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(g["id"], g["simhash"]))
+        """Vectorized hamming verify. Small buckets: all pairs. Oversized
+        buckets: rows sorted by (signature, id) and paired consecutively —
+        identical/near signatures are adjacent after the sort, so every
+        hamming-0 run stays one connected component (no silent pair loss;
+        the cap event is logged)."""
+        sigs_arr = np.asarray(g["simhash"].tolist(), dtype=np.uint64)
+        ids_list = g["id"].tolist()
+        order = np.lexsort((np.asarray(ids_list, dtype=object), sigs_arr))
+        sigs_arr = sigs_arr[order]
+        ids_sorted = [ids_list[i] for i in order]
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=object), "id_b": pd.Series(dtype=object),
+             "hamming": pd.Series(dtype="int64")}
+        )
+        n = len(ids_sorted)
+        if n < 2:
+            return empty
+        if n <= DEDUP_PAIR_CAP:
+            ii, jj = np.triu_indices(n, k=1)
+        else:
+            _log.warning(
+                "simhash pair cap engaged: bucket of %d ids > cap %d, "
+                "degrading to a signature-sorted chain", n, DEDUP_PAIR_CAP,
+            )
+            ii = np.arange(n - 1)
+            jj = ii + 1
+        x = sigs_arr[ii] ^ sigs_arr[jj]
+        d = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+        keep = d <= max_hamming
         out_a, out_b, out_d = [], [], []
-        rows = rows[:DEDUP_PAIR_CAP]
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
-                if d <= max_hamming and rows[i][0] != rows[j][0]:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-                    out_d.append(d)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
+        for i, j, dist in zip(ii[keep], jj[keep], d[keep]):
+            a, b = ids_sorted[i], ids_sorted[j]
+            if a == b:
+                continue
+            if b < a:
+                a, b = b, a
+            out_a.append(a)
+            out_b.append(b)
+            out_d.append(int(dist))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b,
+             "hamming": pd.Series(out_d, dtype="int64")}
+        )
 
     from ..state.groupby import distinct_rows
 

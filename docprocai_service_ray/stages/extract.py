@@ -1,17 +1,28 @@
 """docs stage: web_pages → extracted docs (M1/M7/W6 analogs).
 
 ``read_parquet(web_pages)`` → stateless ``map_batches`` HTML→text
-extraction (one output row per kept page) → url-dedup (last warc_ts wins).
+extraction (one output row per page, empty text kept until after url-dedup)
+→ url-dedup (max (warc_ts, content_hash) wins) → empty-text drop.
+
+Semantics (aligned with oracle/scalar.oracle_docs — same order of steps):
+1. extract every capture (empty-text rows KEPT so a url whose latest
+   capture extracts empty is dropped, not resurrected by an older capture);
+2. per url keep the max (warc_ts, content_hash) row; rows tying on all of
+   (url, warc_ts, content_hash) are byte-identical — exactly ONE copy is
+   kept (a tiny distinct pass over only the tied urls);
+3. drop rows whose extracted text is empty (PdfProcessor.py:53-59 analog).
 
 Scale notes (SURVEY.md §7.4):
 - the ``html`` binary column is dropped INSIDE the extraction batch fn —
   nothing downstream ever shuffles raw HTML;
-- url-dedup does NOT shuffle document text: a (url, warc_ts, content_hash)
-  projection is grouped to find *duplicated* urls only (rare in a WARC-style
-  crawl — assumption documented here), the winners map is broadcast via
-  ``ray.put`` and losers are filtered out in place. Worst case (everything
-  duplicated) degrades to a projection-sized shuffle, never a text shuffle.
-- ties on warc_ts break by content_hash (max), matching oracle/scalar.py.
+- url-dedup does NOT shuffle or pin document text: only the 3-column
+  (url, warc_ts, content_hash) projection is materialized (40 B/row — a
+  100 TB corpus projects to tens of GB, object-store-sized); the winners
+  map is broadcast via ``ray.put`` and losers are filtered out in place.
+  In streaming mode the extraction therefore runs once for the winners
+  pass and once for the filter pass — compute is traded for not pinning
+  the full extracted corpus (the checkpointed path in pipelines/kg.py
+  avoids the re-run by writing extraction to Parquet first).
 """
 
 from __future__ import annotations
@@ -35,27 +46,23 @@ DOCS_SCHEMA = pa.schema(
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
-    """Pure per-row extraction; drops empty-text rows and the html column."""
+    """Pure per-row extraction; drops the html column. Empty-text rows are
+    KEPT (url-dedup must see every capture; drop_empty runs after dedup)."""
     htmls = batch["html"].to_pylist()
     urls = batch["url"].to_pylist()
     tss = batch["warc_ts"].to_pylist()
     langs = batch["lang"].to_pylist()
-    out_url, out_ts, out_lang, out_text, out_n, out_h = [], [], [], [], [], []
-    for url, ts, lang, html in zip(urls, tss, langs, htmls):
-        text = extract_text(html)
-        if not text:
-            continue  # empty/boilerplate-only page skip (PdfProcessor.py:53-59 analog)
-        out_url.append(url)
-        out_ts.append(ts)
-        out_lang.append(lang)
+    out_text, out_n, out_h = [], [], []
+    for html in htmls:
+        text = extract_text(html) or ""
         out_text.append(text)
         out_n.append(len(text))
         out_h.append(content_hash(text))
     return pa.Table.from_arrays(
         [
-            pa.array(out_url, pa.string()),
-            pa.array(out_ts, pa.timestamp("us")),
-            pa.array(out_lang, pa.string()),
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(langs, pa.string()),
             pa.array(out_text, pa.string()),
             pa.array(out_n, pa.int64()),
             pa.array(out_h, pa.binary(16)),
@@ -64,21 +71,29 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def drop_empty(docs_ds):
+    """Drop rows whose extracted text is empty — AFTER url-dedup, so an
+    empty latest capture suppresses its url entirely."""
+    import pyarrow.compute as pc
+
+    return docs_ds.map_batches(
+        lambda t: t.filter(pc.greater(t["n_chars"], 0)), batch_format="pyarrow"
+    )
+
+
 def dedup_urls(docs_ds, cfg: KGConfig):
     """Keep the max (warc_ts, content_hash) row per url without shuffling
-    text: project → groupby(url) over the tiny projection → collect ONLY
-    duplicated urls → broadcast winners → filter.
-
-    Edge case: rows that tie on ALL of (url, warc_ts, content_hash) are
-    byte-identical records; the filter keeps every copy (the winner match
-    is by value). A crawl cannot produce distinguishable duplicates this
-    way — the rows are indistinguishable — but exact multiplicity of such
-    ties is not preserved."""
+    text: project → winners over the tiny projection → broadcast winners →
+    filter. Rows tying on ALL of (url, warc_ts, content_hash) are
+    byte-identical; exactly one copy survives (a distinct pass over only
+    the tied urls — a crawl shard almost never produces them)."""
     import pandas as pd
 
-    from ..state.groupby import partition_reduce
+    from ..state.groupby import distinct_rows, partition_reduce
 
-    proj = docs_ds.select_columns(["url", "warc_ts", "content_hash"])
+    # one execution of the upstream pipeline feeds this 3-column projection;
+    # everything below it is metadata / vocab-sized
+    proj = docs_ds.select_columns(["url", "warc_ts", "content_hash"]).materialize()
 
     def winners(part: pd.DataFrame) -> pd.DataFrame:
         # all rows of a url are in this partition → global per-url decision,
@@ -86,26 +101,29 @@ def dedup_urls(docs_ds, cfg: KGConfig):
         dup_mask = part.duplicated("url", keep=False)
         dups = part[dup_mask]
         if dups.empty:
-            return part.iloc[0:0]
+            return part.iloc[0:0].assign(n_win_copies=pd.Series(dtype="int64"))
         best = dups.sort_values(
             ["url", "warc_ts", "content_hash"], ascending=[True, False, False]
         ).drop_duplicates("url", keep="first")
-        return best
+        counts = (
+            dups.merge(best, on=["url", "warc_ts", "content_hash"])
+            .groupby("url", as_index=False)
+            .size()
+            .rename(columns={"size": "n_win_copies"})
+        )
+        return best.merge(counts, on="url")
 
-    n_docs = None
-    try:
-        n_docs = docs_ds.count()  # metadata-only for parquet / materialized inputs
-    except Exception:
-        pass
-    if n_docs is not None and n_docs <= cfg.driver_dedup_max:
+    n_docs = proj.count()  # metadata-only: proj is materialized
+    if n_docs <= cfg.driver_dedup_max:
         # small-side fast path: the 40-byte/row projection fits on the
-        # driver — one streaming pass, no shuffle
+        # driver — one collect, no shuffle
         win_df = winners(proj.to_pandas())
         win_rows = win_df.to_dict("records")
     else:
         dup_winners = partition_reduce(proj, ["url"], winners, num_partitions=64)
         win_rows = dup_winners.take_all()  # small: only urls that appear 2+ times
     win_map = {r["url"]: (r["warc_ts"], r["content_hash"]) for r in win_rows}
+    tie_urls = sorted(r["url"] for r in win_rows if r["n_win_copies"] > 1)
     if not win_map:
         return docs_ds
     ref = ray.put(win_map)
@@ -120,11 +138,41 @@ def dedup_urls(docs_ds, cfg: KGConfig):
         ]
         return batch.filter(pa.array(mask, pa.bool_()))
 
-    return docs_ds.map_batches(keep, batch_format="pyarrow")
+    filtered = docs_ds.map_batches(keep, batch_format="pyarrow")
+    if not tie_urls:
+        return filtered
+
+    # exact-tie multiplicity: byte-identical winner copies collapse to one
+    # row via a distinct pass over ONLY the tied urls (vanishingly rare, so
+    # the extra upstream execution + row shuffle touch almost nothing)
+    import pyarrow.compute as pc
+
+    tie_ref = ray.put(set(tie_urls))
+
+    def _not_tied(t: pa.Table) -> pa.Table:
+        ties = pa.array(sorted(ray.get(tie_ref)))
+        return t.filter(pc.invert(pc.is_in(t["url"], ties)))
+
+    def _tied(t: pa.Table) -> pa.Table:
+        ties = pa.array(sorted(ray.get(tie_ref)))
+        return t.filter(pc.is_in(t["url"], ties))
+
+    base = filtered.map_batches(_not_tied, batch_format="pyarrow")
+    tied_once = distinct_rows(
+        filtered.map_batches(_tied, batch_format="pyarrow"), ["url"],
+        num_partitions=4,
+    ).map_batches(
+        # pandas round-trip loses binary(16)/timestamp[us] — restore DOCS_SCHEMA
+        # so the union with the arrow-block base has one schema
+        lambda df: pa.Table.from_pandas(df, schema=DOCS_SCHEMA, preserve_index=False),
+        batch_format="pandas",
+    )
+    return base.union(tied_once)
 
 
 def extract_docs(pages_ds, cfg: KGConfig):
-    """web_pages Dataset → raw extracted docs (not yet url-deduped)."""
+    """web_pages Dataset → raw extracted docs (not yet url-deduped; includes
+    empty-text rows — see module docstring step ordering)."""
     pages_ds = filter_langs(pages_ds, cfg)
     return pages_ds.map_batches(
         extract_batch,
@@ -149,11 +197,9 @@ def filter_langs(ds, cfg: KGConfig):
 
 
 def build_docs(pages_ds, cfg: KGConfig):
-    """web_pages Dataset → docs Dataset (extracted, deduped).
-
-    The winners pass and the filter pass both consume the extraction; to run
-    the (expensive) HTML parse exactly once the extraction is pinned with
-    ``materialize()`` here. The checkpointed pipeline (pipelines/kg.py)
-    avoids even that by writing the raw extraction to Parquet first and
-    running the winners pass over the cheap columnar projection."""
-    return dedup_urls(extract_docs(pages_ds, cfg).materialize(), cfg)
+    """web_pages Dataset → docs Dataset (extracted, url-deduped, empty rows
+    dropped). Only the 3-column dedup projection is ever materialized; in
+    exchange the extraction runs once for the winners pass and once for the
+    filter pass (the checkpointed pipeline in pipelines/kg.py writes the
+    extraction to Parquet instead and re-reads, paying neither)."""
+    return drop_empty(dedup_urls(extract_docs(pages_ds, cfg), cfg))

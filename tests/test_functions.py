@@ -170,7 +170,7 @@ class TestCanon:
     def test_bucket_pairs_large_chain(self):
         ss = [f"s{i:03d}" for i in range(60)]
         pairs = bucket_candidate_pairs(ss, pair_cap=50)
-        assert len(pairs) == 59  # chain keeps connectivity, bounds work
+        assert len(pairs) == 59  # star keeps connectivity, bounds work, diameter 2
 
     def test_canonical_id_prefers_min_qid_numeric(self):
         assert canonical_id_for_component([qid_node("Q10"), qid_node("Q9"), "x"]) == "Q9"
