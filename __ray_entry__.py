@@ -51,6 +51,7 @@ def _kg_run(sf_dir: str) -> dict:
         _CFG,
         out_dir=out,
         resume=True,
+        with_sentence_embeddings=True,
     )
 
 
@@ -86,8 +87,11 @@ def _kg_semantic_search(sf_dir: str):
     from docprocai_service_ray.pipelines.queries import semantic_search
 
     res = _kg_run(sf_dir)
+    # scores the STORED sentence_embeddings table (embed-at-ingest) — the
+    # query itself never re-embeds the corpus
     return semantic_search(
-        res["sentences"], "Alice Turner founded Blue River Labs", k=10, cfg=_CFG
+        res["sentences"], "Alice Turner founded Blue River Labs", k=10, cfg=_CFG,
+        embedded_ds=res["sentence_embeddings"],
     )
 
 

@@ -260,7 +260,7 @@ def orders_lineitem_join(sf_dir: str):
         batch_format="pandas",
     )
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = hash_join(li, orders, on="o_orderkey", buckets=16)
+    joined = hash_join(li, orders, on="o_orderkey")  # buckets auto-sized from input bytes
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("o_orderpriority", as_index=False).agg(

@@ -55,6 +55,7 @@ def run_kg(
     out_dir: str | None = None,
     resume: bool = True,
     with_mentions: bool = False,
+    with_sentence_embeddings: bool = False,
 ) -> dict:
     """Run the full pipeline; returns dict of stage Datasets.
 
@@ -77,6 +78,10 @@ def run_kg(
         sentences = build_sentences(docs, cfg)
         triples_raw = build_triples_raw_fused(docs, cfg).materialize()
         out: dict = {"docs": docs, "sentences": sentences, "triples_raw": triples_raw}
+        if with_sentence_embeddings:
+            from .queries import build_sentence_embeddings
+
+            out["sentence_embeddings"] = build_sentence_embeddings(sentences, cfg)
         if with_mentions:
             out["mentions"] = build_mentions(triples_raw, alias_ref, cfg)
         entity_map = build_entity_map(triples_raw, alias_ref, cfg)
@@ -105,6 +110,20 @@ def run_kg(
         lambda: build_triples_raw(sentences, cfg), out_dir, "triples_raw", resume
     )
     out: dict = {"docs": docs, "sentences": sentences, "triples_raw": triples_raw}
+
+    if with_sentence_embeddings:
+        # embed-at-ingest, stored once (reference analog: pgvector columns
+        # written at ingest, persistence/SegmentDbConnector.py:25-36); the
+        # query surface scores these stored vectors instead of re-embedding
+        # the corpus per query
+        from .queries import build_sentence_embeddings
+
+        out["sentence_embeddings"] = checkpointed(
+            lambda: build_sentence_embeddings(sentences, cfg),
+            out_dir,
+            "sentence_embeddings",
+            resume,
+        )
 
     if with_mentions:
         out["mentions"] = checkpointed(

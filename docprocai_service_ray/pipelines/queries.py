@@ -24,6 +24,21 @@ from ..functions.hashing import hash_embedding
 from ..stages.similarity import brute_force_topk
 
 
+def _filter_eq(ds, **col_values):
+    """Equality filter built from pyarrow.compute predicates — immune to
+    quotes/escapes in values (a url may legally contain ``'``), unlike an
+    interpolated ``filter(expr=...)`` string."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        mask = None
+        for col, val in col_values.items():
+            m = pc.equal(batch[col], pa.scalar(val))
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask)
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
 def _with_sentence_embeddings(sentences_ds, cfg: KGConfig):
     dim = cfg.embedding_dim
 
@@ -38,17 +53,33 @@ def _with_sentence_embeddings(sentences_ds, cfg: KGConfig):
     return sentences_ds.map_batches(embed, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def build_sentence_embeddings(sentences_ds, cfg: KGConfig):
+    """Embed-at-ingest table (url, sent_id, text, embedding) — the analog
+    of the reference storing pgvector embeddings once at ingest
+    (persistence/SegmentDbConnector.py:25-36) so every query scores STORED
+    vectors (SegmentDbConnector.py:223-267) instead of re-embedding the
+    corpus per query. Persist this once (pipelines/kg.run_kg checkpoints it
+    as the ``sentence_embeddings`` stage) and pass it to semantic_search /
+    similar_entities as ``embedded_ds``."""
+    return _with_sentence_embeddings(sentences_ds, cfg)
+
+
 def semantic_search(
     sentences_ds,
     query_text: str,
     k: int = 10,
     cfg: KGConfig = KGConfig(),
     whitelist_urls: set[str] | None = None,
+    embedded_ds=None,
 ):
     """Q1: embed query on the driver (one call — the reference does exactly
     one HTTP embed per search, DocProcAiService.py:574), optional whitelist
-    semi-join (J4), score → sort → limit (W1)."""
-    ds = sentences_ds
+    semi-join (J4), score → sort → limit (W1).
+
+    Pass ``embedded_ds`` (a stored build_sentence_embeddings table) to
+    score persisted vectors; without it the sentences are embedded inline
+    (one full corpus embed per query — fine for tests, wrong at scale)."""
+    ds = embedded_ds if embedded_ds is not None else sentences_ds
     if whitelist_urls is not None:
         ref = ray.put(set(whitelist_urls))
 
@@ -58,7 +89,9 @@ def semantic_search(
 
         ds = ds.map_batches(filt, batch_format="pyarrow")
     q = hash_embedding(query_text, cfg.embedding_dim).astype(np.float64)
-    ds = _with_sentence_embeddings(ds, cfg).map_batches(
+    if embedded_ds is None:
+        ds = _with_sentence_embeddings(ds, cfg)
+    ds = ds.map_batches(
         lambda t: t.append_column(
             "sent_key",
             pc.binary_join_element_wise(
@@ -84,14 +117,14 @@ def similar_entities(
     k: int = 10,
     cfg: KGConfig = KGConfig(),
     exclude_same_url: bool = True,
+    embedded_ds=None,
 ):
     """Q2: top-k sentences similar to a probe sentence; anti-join (J5) drops
     the probe's own document when ``exclude_same_url`` (the reference's
     excludeEntitiesWithSameParent, DocProcAiService.py:616-637) and the
-    probe row itself."""
-    probe = sentences_ds.filter(
-        expr=f"url == '{url}' and sent_id == {sent_id}"
-    ).take(1)
+    probe row itself. Pass ``embedded_ds`` to score stored vectors."""
+    base = embedded_ds if embedded_ds is not None else sentences_ds
+    probe = _filter_eq(base, url=url, sent_id=sent_id).take(1)
     if not probe:
         raise KeyError(f"no sentence {url}#{sent_id}")
     q = hash_embedding(probe[0]["text"], cfg.embedding_dim).astype(np.float64)
@@ -105,8 +138,10 @@ def similar_entities(
         )
         return batch.filter(keep)
 
-    ds = sentences_ds.map_batches(filt, batch_format="pyarrow")
-    ds = _with_sentence_embeddings(ds, cfg).map_batches(
+    ds = base.map_batches(filt, batch_format="pyarrow")
+    if embedded_ds is None:
+        ds = _with_sentence_embeddings(ds, cfg)
+    ds = ds.map_batches(
         lambda t: t.append_column(
             "sent_key",
             pc.binary_join_element_wise(t["url"], pc.cast(t["sent_id"], pa.string()), "#"),
@@ -125,19 +160,19 @@ def similar_entities(
 
 def sentences_for_url(sentences_ds, url: str):
     """Q3: ordered segments of one document (point lookup + sort)."""
-    return sentences_ds.filter(expr=f"url == '{url}'").sort("sent_id")
+    return _filter_eq(sentences_ds, url=url).sort("sent_id")
 
 
 def doc_for_url(docs_ds, url: str):
     """Q5: one document's record-level info (column projection)."""
-    return docs_ds.filter(expr=f"url == '{url}'").select_columns(
+    return _filter_eq(docs_ds, url=url).select_columns(
         ["url", "warc_ts", "lang", "n_chars", "text"]
     )
 
 
 def triples_for_subject(triples_ds, subject_id: str):
     """Q4: edges of one subject with provenance resolved (J3 analog)."""
-    return triples_ds.filter(expr=f"subject_id == '{subject_id}'").select_columns(
+    return _filter_eq(triples_ds, subject_id=subject_id).select_columns(
         ["subject_id", "pred", "object_id", "weight", "prov"]
     )
 

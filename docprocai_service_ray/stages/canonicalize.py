@@ -151,14 +151,21 @@ def _to_arrow(ds):
 
 
 def _components_distributed(edges_ds, surfaces_ds, cfg: KGConfig):
-    """Iterated min-label propagation over Datasets (bounded rounds).
+    """Iterated min-label propagation with pointer jumping (bounded rounds).
 
-    labels(node → label) starts as identity; each round joins neighbour
-    labels in via a partitioned hash join and takes the min per node.
-    Converges in O(component diameter) rounds; entity clusters are shallow.
+    labels(node → label) starts as identity; each round (a) joins neighbour
+    labels in via a partitioned hash join and takes the vectorized min per
+    node (state/groupby.partition_reduce — ONE pandas groupby.min per hash
+    partition, never one Python call per key), then (b) pointer-jumps:
+    label ← label_of(label), valid because every label is itself a node and
+    labels only decrease. (a) alone converges in O(diameter) rounds; with
+    (b) it is O(log diameter) — star-capped LSH buckets keep diameters
+    small, but adversarial chains of pairwise-similar surfaces cannot stall
+    it either. Non-convergence within cfg.max_unionfind_rounds RAISES
+    (silent partial merges would split entity clusters downstream).
     Returns a materialized Dataset (node, label).
     """
-    import ray.data as rd
+    from ..state.groupby import distinct_rows, partition_reduce
 
     adj = edges_ds.map_batches(
         lambda t: pa.Table.from_pydict(
@@ -170,33 +177,39 @@ def _components_distributed(edges_ds, surfaces_ds, cfg: KGConfig):
         batch_format="pyarrow",
     ).materialize()
 
-    nodes = (
+    nodes = distinct_rows(
         _to_arrow(surfaces_ds)
         .map_batches(
             lambda t: pa.Table.from_pydict({"node": t["surface"]}),
             batch_format="pyarrow",
         )
-        .union(adj.select_columns(["node"]))
-        .groupby("node")
-        .map_groups(lambda g: g.iloc[0:1], batch_format="pandas")
+        .union(adj.select_columns(["node"])),
+        ["node"],
+        num_partitions=16,
     )
-    labels = nodes.map_batches(
+    labels = _to_arrow(nodes).map_batches(
         lambda t: pa.Table.from_pydict({"node": t["node"], "label": t["node"]}),
         batch_format="pyarrow",
     ).materialize()
 
     def _sig(lds) -> int:
-        from ..functions.hashing import stable_u64
+        """Order-free fingerprint of the label assignment; one vectorized
+        pandas hash per block, a per-block sum, tiny driver reduce."""
 
-        def h(batch: pa.Table) -> pa.Table:
-            tot = sum(
-                stable_u64(n + "\x1f" + l)
-                for n, l in zip(batch["node"].to_pylist(), batch["label"].to_pylist())
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            key = df["node"] + "\x1f" + df["label"]
+            tot = int(
+                pd.util.hash_pandas_object(key, index=False)
+                .to_numpy(dtype="uint64")
+                .sum(dtype="uint64")
             )
-            return pa.Table.from_pydict({"h": [tot % (1 << 63)]})
+            return pd.DataFrame({"h": [tot % (1 << 63)]})
 
-        parts = lds.map_batches(h, batch_format="pyarrow").take_all()
+        parts = lds.map_batches(h, batch_format="pandas").take_all()
         return sum(p["h"] for p in parts) % (1 << 63)
+
+    def _min_label(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("node", as_index=False).agg(label=("label", "min"))
 
     sig = _sig(labels)
     for _ in range(cfg.max_unionfind_rounds):
@@ -210,14 +223,22 @@ def _components_distributed(edges_ds, surfaces_ds, cfg: KGConfig):
             ),
             batch_format="pandas",
         )
+        stepped = partition_reduce(
+            _to_arrow(labels.union(_to_arrow(msgs))), ["node"], _min_label,
+            num_partitions=16,
+        )
+        # pointer jump: label ← label_of(label). Labels are monotone
+        # decreasing and every label is a node, so the inner join is total.
+        jump_src = stepped.map_batches(
+            lambda df: df.rename(columns={"label": "mid"}), batch_format="pandas"
+        )
+        jump_map = stepped.map_batches(
+            lambda df: pd.DataFrame({"mid": df["node"], "label": df["label"]}),
+            batch_format="pandas",
+        )
         new_labels = _to_arrow(
-            labels.union(msgs)
-            .groupby("node")
-            .map_groups(
-                lambda g: pd.DataFrame(
-                    {"node": [g["node"].iloc[0]], "label": [g["label"].min()]}
-                ),
-                batch_format="pandas",
+            hash_join(jump_src, jump_map, on="mid").map_batches(
+                lambda df: df[["node", "label"]], batch_format="pandas"
             )
         ).materialize()
         new_sig = _sig(new_labels)
@@ -225,6 +246,12 @@ def _components_distributed(edges_ds, surfaces_ds, cfg: KGConfig):
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        raise RuntimeError(
+            f"min-label propagation did not converge within "
+            f"{cfg.max_unionfind_rounds} rounds — component diameter exceeds "
+            f"2^rounds (pointer jumping); raise cfg.max_unionfind_rounds"
+        )
     return labels
 
 

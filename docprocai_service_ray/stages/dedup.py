@@ -133,12 +133,19 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    driver_verify_max: int = 200_000,
 ):
     """Near-duplicate candidate pairs with exact-jaccard verification.
-    Returns Dataset(id_a, id_b, jaccard). The verify step re-reads the two
-    texts via a broadcast id→text map built from the candidate ids only
-    (candidates ≪ corpus; for corpora where even candidates are huge,
-    verification joins text back by id with state/joins.hash_join)."""
+    Returns Dataset(id_a, id_b, jaccard).
+
+    The verify step needs each pair's two texts. Two paths, chosen by the
+    measured candidate count (never by hope):
+    - candidates ≤ ``driver_verify_max``: broadcast an id→text map built
+      from the candidate ids only (one filtered scan, zero shuffles);
+    - above it (dup-heavy crawl shard): join the texts back onto the pair
+      rows with two partitioned hash joins — all distributed, the driver
+      never holds texts. Output of both paths is identical (tested).
+    """
     import ray
 
     banded = ds.map_batches(
@@ -161,14 +168,54 @@ def minhash_lsh_pairs(
         banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas"),
         ["id_a", "id_b"],
     ).materialize()
+    n_pairs = pairs.count()  # metadata-only: materialized
+    if n_pairs == 0:
+        return pairs.map_batches(
+            lambda df: df.assign(jaccard=pd.Series(dtype=float)), batch_format="pandas"
+        )
+
+    def _verify_frame(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for a, b, ta, tb in zip(
+            batch["id_a"], batch["id_b"], batch["__text_a"], batch["__text_b"]
+        ):
+            j = jaccard(
+                word_shingles(ta or "", shingle_words),
+                word_shingles(tb or "", shingle_words),
+            )
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    if 2 * n_pairs > driver_verify_max:
+        # distributed text-back path: two partitioned hash joins pull each
+        # pair's texts onto its row; no driver-side text materialization
+        _log.warning(
+            "minhash verify: %d candidate pairs exceed driver_verify_max=%d — "
+            "joining texts back distributed", n_pairs, driver_verify_max,
+        )
+        from ..state.joins import hash_join
+
+        texts_a = ds.map_batches(
+            lambda df: pd.DataFrame({"id_a": df[id_col], "__text_a": df[text_col]}),
+            batch_format="pandas",
+        )
+        texts_b = ds.map_batches(
+            lambda df: pd.DataFrame({"id_b": df[id_col], "__text_b": df[text_col]}),
+            batch_format="pandas",
+        )
+        with_a = hash_join(pairs, texts_a, on="id_a")
+        with_b = hash_join(with_a, texts_b, on="id_b")
+        return with_b.map_batches(
+            _verify_frame, batch_format="pandas", concurrency=pool_size(4)
+        )
+
     cand_ids = set()
     for r in pairs.take_all():
         cand_ids.add(r["id_a"])
         cand_ids.add(r["id_b"])
-    if not cand_ids:
-        return pairs.map_batches(
-            lambda df: df.assign(jaccard=pd.Series(dtype=float)), batch_format="pandas"
-        )
     texts_ds = ds.map_batches(
         lambda df: df[df[id_col].isin(cand_ids)][[id_col, text_col]],
         batch_format="pandas",

@@ -14,8 +14,10 @@ the big side:
   DocProcAiService.py:616-637).
 - ``hash_join``: both sides large → explicit partitioned hash join:
   add ``bucket = hash(key) % B`` to both sides, union with a side tag,
-  ``groupby(bucket)`` co-locates, pandas merge per bucket. Document B;
-  skewed keys should be pre-salted by the caller.
+  ``groupby(bucket)`` co-locates, pandas merge per bucket. B is sized
+  from a METADATA-ONLY input-bytes estimate (never by executing the
+  inputs) targeting ~64 MB per bucket; ``salt=k`` splits each left key
+  into k sub-keys and replicates the right side k ways for skewed keys.
 """
 
 from __future__ import annotations
@@ -33,6 +35,52 @@ from ..functions.hashing import stable_u64
 def broadcast_ref(obj: Any) -> ray.ObjectRef:
     """Put a small side into the object store once (zero-copy reads)."""
     return ray.put(obj)
+
+
+_TARGET_BUCKET_BYTES = 64 << 20  # ~64 MB of input per merge task
+
+
+def _meta_size_bytes(ds) -> int | None:
+    """Metadata-only size estimate: the dataset's own inferred size if
+    known (reads, materialized datasets), else the sum over its logical
+    input dependencies (maps usually shrink their input, so this is an
+    upper-bound-ish estimate). NEVER executes the dataset."""
+
+    def walk(op) -> int | None:
+        try:
+            s = op.infer_metadata().size_bytes
+        except Exception:
+            return None
+        if s is not None:
+            return s
+        deps = getattr(op, "input_dependencies", None)
+        if not deps:
+            return None
+        tot = 0
+        for d in deps:
+            ds_ = walk(d)
+            if ds_ is None:
+                return None
+            tot += ds_
+        return tot
+
+    try:
+        return walk(ds._logical_plan.dag)
+    except Exception:
+        return None
+
+
+def auto_buckets(*datasets, default: int = 32, lo: int = 8, hi: int = 4096) -> int:
+    """Bucket count targeting ~64 MB of estimated input per bucket; falls
+    back to ``default`` when no metadata estimate exists. Scales with data
+    volume so a 100× corpus gets 100× merge tasks, not 100× task size."""
+    total = 0
+    for ds in datasets:
+        s = _meta_size_bytes(ds)
+        if s is None:
+            return default
+        total += s
+    return min(hi, max(lo, (total // _TARGET_BUCKET_BYTES) + 1))
 
 
 def semi_join_filter(ds, column: str, keys_ref: ray.ObjectRef):
@@ -66,10 +114,11 @@ def hash_join(
     right,
     on: str | list[str],
     *,
-    buckets: int = 32,
+    buckets: int | None = None,
     how: str = "inner",
     seed: int = 0,
     suffixes: tuple[str, str] = ("", "_r"),
+    salt: int = 1,
 ):
     """Partitioned hash join of two Datasets on ``on``.
 
@@ -77,8 +126,16 @@ def hash_join(
     are unioned with a ``__side`` tag, and ``groupby(__bucket)`` brings
     matching keys together; a pandas merge runs per bucket. One all-to-all
     exchange total (the groupby); no driver materialization.
+
+    ``buckets=None`` auto-sizes from a metadata-only input-bytes estimate
+    (~64 MB per bucket). ``salt=k`` defuses skewed keys: each LEFT row gets
+    a deterministic sub-key in [0, k) and the RIGHT side is replicated k
+    ways, so a head key's rows spread over k merge tasks instead of one
+    straggler (right side should be the smaller side when salting).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if buckets is None:
+        buckets = auto_buckets(left, right)
     l_cols = left.schema().names
     r_cols = right.schema().names
     # overlapping non-key columns on the right get the suffix up front so the
@@ -87,19 +144,34 @@ def hash_join(
     r_cols_final = [rename.get(c, c) for c in r_cols]
     r_only = [c for c in r_cols_final if c not in l_cols]
     superset = l_cols + r_only
+    merge_keys = keys + (["__salt"] if salt > 1 else [])
 
     def _tag(side: str):
         def _fn(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
             if side == "r" and rename:
                 batch = batch.rename(columns=rename)
-            key0 = batch[keys[0]].astype(str)
-            for k in keys[1:]:
-                key0 = key0 + "\x1f" + batch[k].astype(str)
             for c in superset:
                 if c not in batch.columns:
                     batch[c] = None
             batch = batch[superset]
+            if salt > 1:
+                if side == "l":
+                    # deterministic per-row sub-key (full-row hash, stable
+                    # across runs/processes — never random)
+                    rh = pd.util.hash_pandas_object(batch, index=False)
+                    batch["__salt"] = (rh % salt).astype("int64")
+                else:
+                    # replicate the right side once per sub-key
+                    batch = pd.concat(
+                        [batch.assign(__salt=np.int64(s)) for s in range(salt)],
+                        ignore_index=True,
+                    )
+            key0 = batch[keys[0]].astype(str)
+            for k in keys[1:]:
+                key0 = key0 + "\x1f" + batch[k].astype(str)
+            if salt > 1:
+                key0 = key0 + "\x1f" + batch["__salt"].astype(str)
             h = pd.util.hash_pandas_object(key0, index=False)  # vectorized, stable
             batch["__bucket"] = ((h + np.uint64(seed)) % buckets).astype("int64")
             batch["__side"] = side
@@ -110,13 +182,14 @@ def hash_join(
     lt = left.map_batches(_tag("l"), batch_format="pandas")
     rt = right.map_batches(_tag("r"), batch_format="pandas")
     both = lt.union(rt)
-    l_side_cols = l_cols
-    r_side_cols = keys + r_only
+    l_side_cols = l_cols + (["__salt"] if salt > 1 else [])
+    r_side_cols = merge_keys + r_only
 
     def _merge(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == "l"][l_side_cols]
         r = group[group["__side"] == "r"][r_side_cols]
-        return l.merge(r, on=keys, how=how)
+        out = l.merge(r, on=merge_keys, how=how)
+        return out.drop(columns="__salt") if salt > 1 else out
 
     return both.groupby("__bucket").map_groups(_merge, batch_format="pandas")
 
@@ -129,6 +202,7 @@ def asof_join(
     on: str,
     right_on: str | None = None,
     direction: str = "backward",
+    num_partitions: int | None = None,
 ):
     """As-of join (custom operator — Ray Data has no native equivalent;
     SURVEY-mandated composition (a): union + groupby + per-group
@@ -136,12 +210,16 @@ def asof_join(
 
     Partitioning assumption (documented per the custom-operator rule): all
     rows of one ``by`` key land in one hash partition (keys are users /
-    entities with bounded history). Both sides are tagged, unioned and
-    grouped by ``hash(by) % P`` in ONE shuffle; within a partition a single
-    vectorized ``pd.merge_asof(by=...)`` handles every key at once — never
-    one Python call per key.
+    entities with bounded history — by-key salting is impossible for as-of
+    semantics, so a single key hotter than one partition's memory needs a
+    time-bucketed pre-aggregation upstream). ``num_partitions=None``
+    auto-sizes from a metadata-only input-bytes estimate. Both sides are
+    tagged, unioned and grouped by ``hash(by) % P`` in ONE shuffle; within
+    a partition a single vectorized ``pd.merge_asof(by=...)`` handles
+    every key at once — never one Python call per key.
     """
-    num_partitions = 32
+    if num_partitions is None:
+        num_partitions = auto_buckets(left, right)
     right_on = right_on or on
     l_cols = left.schema().names
     r_cols = right.schema().names
