@@ -212,31 +212,46 @@ def _ngram_jaccard_dups(sf_dir: str):
 
 
 def _media_features(sf_dir: str):
-    """Multimodal plumbing over real binary payloads: the corpus html
-    column plays the opaque media role (decode stubbed deterministically —
-    see stages/multimodal.py)."""
+    """Multimodal plumbing over REAL FILES: the corpus html payloads are
+    written once as individual files under /tmp, read back with
+    ``ray.data.read_binary_files`` (one row per file, extension-dispatched
+    kind), and decoded by the actor-pool feature stage (decode kernel
+    stubbed deterministically — see stages/multimodal.py)."""
     import os
 
-    import pyarrow as pa
-    import ray.data as rd
+    import pyarrow.parquet as pq
 
     from docprocai_service_ray.sources.webgen import ensure_corpus
-    from docprocai_service_ray.stages.multimodal import extract_media_features
+    from docprocai_service_ray.stages.multimodal import (
+        extract_media_features,
+        read_media_files,
+    )
 
     corpus = ensure_corpus(500, _CFG.seed, _CFG.embedding_dim)
-    pages = rd.read_parquet(
-        os.path.join(corpus, "web_pages"), columns=["url", "html"]
-    )
-    media = pages.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {
-                "media_id": t["url"],
-                "kind": ["image"] * t.num_rows,
-                "payload": t["html"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    media_dir = f"/tmp/raykg_media/{_PIPELINE_VERSION}_n500_s{_CFG.seed}"
+    done = media_dir + ".done"  # marker OUTSIDE the dir read_binary_files scans
+    if not os.path.exists(done):
+        os.makedirs(media_dir, exist_ok=True)
+        t = pq.read_table(
+            os.path.join(corpus, "web_pages"), columns=["url", "html"]
+        ).sort_by("url")
+        for i, payload in enumerate(t["html"].to_pylist()):
+            with open(os.path.join(media_dir, f"page-{i:05d}.png"), "wb") as f:
+                f.write(payload or b"")
+        with open(done, "w") as f:
+            f.write("ok")
+    media = read_media_files(media_dir)
+
+    def _rel_id(batch):
+        import pyarrow as pa
+
+        ids = [os.path.basename(p) for p in batch["media_id"].to_pylist()]
+        return batch.set_column(
+            batch.schema.get_field_index("media_id"), "media_id",
+            pa.array(ids, pa.string()),
+        )
+
+    media = media.map_batches(_rel_id, batch_format="pyarrow")
     out = extract_media_features(media, feature_dim=16, batch_size=64)
     return out.select_columns(["media_id", "kind", "width", "height", "n_frames", "n_bytes"])
 

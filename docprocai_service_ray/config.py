@@ -31,8 +31,10 @@ class KGConfig:
     jaccard_threshold: float = 0.68  # verify-step threshold for candidate pairs
                                      # (above cross-entity max ~0.63 on the synthetic
                                      # inventory, below same-entity variant ~0.75)
-    lsh_salt_buckets: int = 8        # salt for head-surface band keys (§4.3 skew defusal)
-    max_unionfind_rounds: int = 12   # label propagation bound (~log n expected)
+    max_unionfind_rounds: int = 12   # label-propagation round budget; with
+                                     # pointer jumping each round squares the
+                                     # reachable diameter (2^12 hops) — the
+                                     # stage RAISES if still unconverged
     driver_unionfind_max: int = 2_000_000  # edge count below which union-find runs
                                      # on the driver (candidate set provably small);
                                      # above it, distributed min-label propagation
@@ -49,9 +51,6 @@ class KGConfig:
                                      # (service/DocProcAiService.py:755, config.yaml:50)
     # ---- graph materialization ----
     output_buckets: int = 16         # hash(subject_id) % buckets partitions the triple output
-    tree_merge_max_rows: int = 4_000_000  # post-tree-level partial row count below
-                                     # which the final triple merge is a small grouped
-                                     # sort; above it, full hash exchange on `part`
     prov_cap: int = 20               # max provenance entries kept per triple (overflow counted,
                                      # never silently dropped — manifest records the cap)
     # ---- execution ----
@@ -62,6 +61,10 @@ class KGConfig:
                                      # keys saturate), and a batch is only ~6 MB
     embed_batch_size: int = 2048
     actor_pool_size: int = 4         # concurrency for stateful stages in tests; bench overrides
+    ingest_partitions: int = 0       # >0: checkpointed docs_raw ingest runs in this many
+                                     # independent input-file shards with per-partition
+                                     # manifest rows — a killed run resumes at the first
+                                     # unfinished shard (state/manifest.checkpointed_partitioned)
     # ---- language filter (S1 dispatch analog; FIXTURES: non-en rows
     # exercise filters). None = process every language ----
     filter_langs: tuple[str, ...] | None = None

@@ -31,7 +31,7 @@ from ..stages.triple_extract import build_triples_raw
 from ..state.manifest import checkpointed, write_stage
 
 
-def read_web_pages(path: str):
+def read_web_pages(path: str | list[str]):
     """Prune at the read: the `text` hint column never leaves storage.
 
     Blocks are coalesced to ~4 tasks per CPU — hundreds of tiny file-sized
@@ -46,6 +46,15 @@ def read_web_pages(path: str):
         columns=["url", "warc_ts", "html", "lang"],
         override_num_blocks=max(32, cpus * 4),
     )
+
+
+def _page_files(pages_path: str) -> list[str]:
+    import glob
+    import os
+
+    if os.path.isdir(pages_path):
+        return sorted(glob.glob(os.path.join(pages_path, "**", "*.parquet"), recursive=True))
+    return [pages_path]
 
 
 def run_kg(
@@ -94,12 +103,27 @@ def run_kg(
     # (resume granularity = stage). The HTML parse runs once into docs_raw;
     # the url-dedup winners pass then reads only the (url, warc_ts, hash)
     # projection from Parquet instead of re-running extraction.
-    docs_raw = checkpointed(
-        lambda: extract_docs(read_web_pages(pages_path), cfg),
-        out_dir,
-        "docs_raw",
-        resume,
-    )
+    if cfg.ingest_partitions > 0:
+        # partition-granular resume for the (expensive, map-only) ingest:
+        # each input-file shard extracts and lands independently; a killed
+        # run recomputes only shards without a DONE manifest row
+        from ..state.manifest import checkpointed_partitioned
+
+        docs_raw = checkpointed_partitioned(
+            lambda files: extract_docs(read_web_pages(files), cfg),
+            _page_files(pages_path),
+            out_dir,
+            "docs_raw",
+            resume,
+            num_partitions=cfg.ingest_partitions,
+        )
+    else:
+        docs_raw = checkpointed(
+            lambda: extract_docs(read_web_pages(pages_path), cfg),
+            out_dir,
+            "docs_raw",
+            resume,
+        )
     docs = checkpointed(
         lambda: drop_empty(dedup_urls(docs_raw, cfg)), out_dir, "docs", resume
     )

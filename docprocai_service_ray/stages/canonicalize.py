@@ -117,19 +117,26 @@ def lsh_edges(surfaces_ds, cfg: KGConfig):
         concurrency=pool_size(min(4, cfg.actor_pool_size)),
     )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out = [
-            p
-            for p in bucket_candidate_pairs(group["surface"].tolist(), PAIR_CAP)
-            if verify_pair(p[0], p[1], cfg.shingle_k, cfg.jaccard_threshold)
-        ]
-        return pd.DataFrame({"src": [p[0] for p in out], "dst": [p[1] for p in out]})
+    def pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a band key are co-located here. Almost every band key
+        # is a singleton — drop them VECTORIZED before the per-bucket loop,
+        # so Python only ever touches colliding buckets (the interesting
+        # minority). One task handles thousands of buckets; never one Ray
+        # dispatch per bucket (the r01 per-key map_groups anti-pattern).
+        part = part[part.duplicated("band_key", keep=False)]
+        out_src, out_dst = [], []
+        for _, g in part.groupby("band_key", sort=False):
+            for p in bucket_candidate_pairs(g["surface"].tolist(), PAIR_CAP):
+                if verify_pair(p[0], p[1], cfg.shingle_k, cfg.jaccard_threshold):
+                    out_src.append(p[0])
+                    out_dst.append(p[1])
+        return pd.DataFrame({"src": out_src, "dst": out_dst})
+
+    from ..state.groupby import distinct_rows, partition_reduce
 
     # a pair found in several bands is deduped here (normalized src<dst key)
-    from ..state.groupby import distinct_rows
-
     return distinct_rows(
-        banded.groupby("band_key").map_groups(pairs, batch_format="pandas"),
+        partition_reduce(banded, ["band_key"], pairs_partition, num_partitions=32),
         ["src", "dst"],
         num_partitions=8,
     )

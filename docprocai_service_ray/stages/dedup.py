@@ -158,14 +158,22 @@ def minhash_lsh_pairs(
         concurrency=pool_size(4),
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ps = _pairs_in_bucket(g["id"].tolist(), DEDUP_PAIR_CAP)
-        return pd.DataFrame({"id_a": [p[0] for p in ps], "id_b": [p[1] for p in ps]})
+    def pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # vectorized singleton-bucket drop, then a pandas loop over ONLY the
+        # colliding buckets — thousands of buckets per task, never one Ray
+        # dispatch per bucket
+        part = part[part.duplicated("band", keep=False)]
+        out_a, out_b = [], []
+        for _, g in part.groupby("band", sort=False):
+            for p in _pairs_in_bucket(g["id"].tolist(), DEDUP_PAIR_CAP):
+                out_a.append(p[0])
+                out_b.append(p[1])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
-    from ..state.groupby import distinct_rows
+    from ..state.groupby import distinct_rows, partition_reduce
 
     pairs = distinct_rows(
-        banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas"),
+        partition_reduce(banded, ["band"], pairs_partition, num_partitions=32),
         ["id_a", "id_b"],
     ).materialize()
     n_pairs = pairs.count()  # metadata-only: materialized
@@ -366,11 +374,23 @@ def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3):
              "hamming": pd.Series(out_d, dtype="int64")}
         )
 
-    from ..state.groupby import distinct_rows
+    def pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part.duplicated("key", keep=False)]
+        frames = [
+            bucket_pairs(g) for _, g in part.groupby("key", sort=False)
+        ]
+        if not frames:
+            return bucket_pairs(part.iloc[0:0])
+        return pd.concat(frames, ignore_index=True)
+
+    from ..state.groupby import distinct_rows, partition_reduce
 
     return distinct_rows(
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(bucket_pairs, batch_format="pandas"),
+        partition_reduce(
+            sigs.map_batches(explode, batch_format="pyarrow"),
+            ["key"],
+            pairs_partition,
+            num_partitions=32,
+        ),
         ["id_a", "id_b"],
     )

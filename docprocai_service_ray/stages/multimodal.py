@@ -115,6 +115,43 @@ class MediaFeatureExtractor:
         )
 
 
+_EXT_KIND = {
+    ".jpg": "image", ".jpeg": "image", ".png": "image", ".bmp": "image",
+    ".gif": "image", ".wav": "audio", ".mp3": "audio", ".flac": "audio",
+    ".mp4": "video", ".mkv": "video", ".webm": "video", ".avi": "video",
+}
+
+
+def read_media_files(paths, *, batch_size: int = 32):
+    """Real-file media source: ``ray.data.read_binary_files`` (one row per
+    file, bytes + path) → (media_id, kind, payload) with kind dispatched
+    from the file extension (the content-type dispatch analog of
+    fileextractlib/DocumentProcessor.py:25-30). Feed the result straight
+    into extract_media_features."""
+    import os
+
+    import ray.data as rd
+
+    raw = rd.read_binary_files(paths, include_paths=True)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        paths_col = batch["path"].to_pylist()
+        kinds = [
+            _EXT_KIND.get(os.path.splitext(p)[1].lower(), "binary")
+            for p in paths_col
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array(paths_col, pa.string()),
+                pa.array(kinds, pa.string()),
+                batch["bytes"].combine_chunks(),
+            ],
+            names=["media_id", "kind", "payload"],
+        )
+
+    return raw.map_batches(to_media, batch_format="pyarrow", batch_size=batch_size)
+
+
 def extract_media_features(ds, *, feature_dim: int = 16, batch_size: int = 32,
                            concurrency: int = 2,
                            decoder_factory=DeterministicFakeDecoder):

@@ -114,6 +114,90 @@ def write_stage(
     return final
 
 
+def _part_manifest_path(out_dir: str, stage: str, pid: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"{stage}.part-{pid:05d}.json")
+
+
+def is_partition_done(out_dir: str, stage: str, pid: int) -> bool:
+    p = _part_manifest_path(out_dir, stage, pid)
+    pdir = os.path.join(stage_output_dir(out_dir, stage), f"part-{pid:05d}")
+    if not os.path.exists(p) or not os.path.isdir(pdir):
+        return False
+    try:
+        with open(p) as f:
+            return json.load(f).get("state") == "DONE"
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def checkpointed_partitioned(
+    part_fn,
+    input_files: list[str],
+    out_dir: str,
+    stage: str,
+    resume: bool = True,
+    num_partitions: int = 8,
+):
+    """Partition-granular checkpoint for MAP-ONLY stages (each output row
+    depends only on its own input partition — never use for shuffles).
+
+    The input file list is split round-robin into ``num_partitions``
+    deterministic shards; each shard runs ``part_fn(files) -> Dataset`` and
+    writes to ``<out>/<stage>/part-<pid>/`` with its own manifest row. A
+    resumed run recomputes ONLY the partitions without a DONE row — the
+    SURVEY §1.2 manifest ``partition_id`` column made real (the analog of
+    the reference re-ingesting one record end-to-end,
+    service/DocProcAiService.py:102-103, at shard granularity).
+    """
+    import ray.data as rd
+
+    if resume and is_stage_done(out_dir, stage):
+        return rd.read_parquet(stage_output_dir(out_dir, stage))
+    input_files = sorted(input_files)
+    shards = [input_files[i::num_partitions] for i in range(num_partitions)]
+    shards = [s for s in shards if s]
+    stage_dir = stage_output_dir(out_dir, stage)
+    for pid, files in enumerate(shards):
+        if resume and is_partition_done(out_dir, stage, pid):
+            continue
+        final = os.path.join(stage_dir, f"part-{pid:05d}")
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        t0 = time.monotonic()
+        part_fn(files).write_parquet(tmp)
+        wall = time.monotonic() - t0
+        with dir_lock(out_dir):
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.makedirs(stage_dir, exist_ok=True)
+            os.rename(tmp, final)
+        row = {
+            "stage": stage,
+            "partition_id": pid,
+            "state": "DONE",
+            "wall_s": round(wall, 3),
+            "output_path": final,
+            "n_input_files": len(files),
+        }
+        os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+        mp = _part_manifest_path(out_dir, stage, pid)
+        with open(mp + ".tmp", "w") as f:
+            json.dump(row, f)
+        os.replace(mp + ".tmp", mp)
+    # stage-level DONE row once every partition has one
+    row = {
+        "stage": stage,
+        "state": "DONE",
+        "output_path": stage_dir,
+        "n_partitions": len(shards),
+        "partitioned": True,
+    }
+    mp = _manifest_path(out_dir, stage)
+    with open(mp + ".tmp", "w") as f:
+        json.dump(row, f)
+    os.replace(mp + ".tmp", mp)
+    return rd.read_parquet(stage_dir)
+
+
 def checkpointed(ds_fn, out_dir: str | None, stage: str, resume: bool = True):
     """Run ``ds_fn()`` → Dataset, materialized as a parquet checkpoint when
     ``out_dir`` is set; on resume, reuse a DONE stage's files instead of

@@ -88,3 +88,27 @@ class TestWindows:
             "2024-01-01 09:00:00", "2024-01-01 10:00:00",
         ]
         assert all(r["n"] == 1 for r in rows)
+
+
+class TestReadMediaFiles:
+    def test_real_file_roundtrip(self, tmp_path):
+        """read_binary_files → (media_id, kind, payload) with extension
+        dispatch; features computed by the actor-pool stage."""
+        from docprocai_service_ray.stages.multimodal import (
+            extract_media_features,
+            read_media_files,
+        )
+
+        (tmp_path / "a.png").write_bytes(b"fake-image-bytes")
+        (tmp_path / "b.mp4").write_bytes(b"fake-video-bytes-longer")
+        (tmp_path / "c.dat").write_bytes(b"unknown")
+        rows = {
+            r["media_id"].rsplit("/", 1)[-1]: r
+            for r in extract_media_features(
+                read_media_files(str(tmp_path)), feature_dim=8
+            ).take_all()
+        }
+        assert rows["a.png"]["kind"] == "image" and rows["a.png"]["n_frames"] == 1
+        assert rows["b.mp4"]["kind"] == "video" and rows["b.mp4"]["n_frames"] > 1
+        assert rows["c.dat"]["kind"] == "binary"
+        assert rows["a.png"]["n_bytes"] == 16
