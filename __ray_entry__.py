@@ -273,6 +273,121 @@ def _rolling_fingerprints(sf_dir: str):
     )
 
 
+# ---------------- SQL oracles for the text-analysis ops ---------------------
+# Built PROGRAMMATICALLY from the same stopword lists / regexes the Ray
+# kernels use (docprocai_service_ray/stages/textstats.py) so the two sides
+# cannot drift.
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+def _lang_id_sql() -> str:
+    from docprocai_service_ray.stages.textstats import _STOPWORDS
+
+    word_re = "[a-zàâäéèêëîïôöùûüß]+"
+    score = {
+        lang: (
+            f"len(list_filter(regexp_extract_all(lower(coalesce(text, '')), "
+            f"'{word_re}'), x -> list_contains({_sql_list(sw)}, x)))"
+        )
+        for lang, sw in _STOPWORDS.items()
+    }
+    # python rule: langs scanned in sorted order, strictly-greater score
+    # wins → earlier language wins ties; all-zero → 'und'
+    return f"""
+        WITH sc AS (
+            SELECT {score['de']} AS de, {score['en']} AS en, {score['fr']} AS fr
+            FROM documents
+        )
+        SELECT CASE WHEN de = 0 AND en = 0 AND fr = 0 THEN 'und'
+                    WHEN de >= en AND de >= fr THEN 'de'
+                    WHEN en >= fr THEN 'en'
+                    ELSE 'fr' END AS lang_guess,
+               COUNT(*) AS n
+        FROM sc GROUP BY 1
+    """
+
+
+def _quality_sql() -> str:
+    from docprocai_service_ray.stages.textstats import _STOPWORDS
+
+    word_re = "[a-zàâäéèêëîïôöùûüß]+"
+    en = _sql_list(_STOPWORDS["en"])
+    return f"""
+        WITH d AS (SELECT source, coalesce(text, '') AS t FROM documents),
+        m AS (
+            SELECT source,
+                   length(t) AS n,
+                   len(regexp_extract_all(t, '\\S+')) AS tok,
+                   len(regexp_extract_all(t, '[.!?,;:]'))::DOUBLE
+                       / greatest(length(t), 1) AS pr,
+                   len(list_filter(regexp_extract_all(lower(t), '{word_re}'),
+                                   x -> list_contains({en}, x)))::DOUBLE
+                       / greatest(len(regexp_extract_all(lower(t), '{word_re}')), 1)
+                       AS swr
+            FROM d
+        ),
+        q AS (
+            SELECT source, tok,
+                   ROUND(0.4::DOUBLE * (CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+                       + 0.3::DOUBLE * (CASE WHEN pr > 0.0 AND pr < 0.2 THEN 1 ELSE 0 END)
+                       + 0.3::DOUBLE * (CASE WHEN swr > 0.02 THEN 1 ELSE 0 END), 6) AS q
+            FROM m
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               ROUND(SUM(q) / COUNT(*), 4) AS avg_quality,
+               CAST(SUM(tok) AS BIGINT) AS total_tokens
+        FROM q GROUP BY 1
+    """
+
+
+_ROLLING_SQL = """
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    g AS (SELECT unnest(range((SELECT greatest(max(length(t)) - 64, 0) + 1 FROM d))) AS i),
+    win AS (
+        SELECT d.doc_id, min(md5(substr(d.t, g.i + 1, 64))) AS rfp
+        FROM d, g
+        WHERE length(d.t) > 64
+          AND g.i <= length(d.t) - 64
+          AND g.i % greatest(1, (length(d.t) - 64) // 128) = 0
+        GROUP BY 1
+    ),
+    small AS (SELECT doc_id, md5(t) AS rfp FROM d WHERE length(t) <= 64)
+    SELECT d.doc_id,
+           coalesce(w.rfp, s.rfp) AS rfp,
+           len(regexp_extract_all(d.t, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS bpe_tokens
+    FROM d LEFT JOIN win w USING (doc_id) LEFT JOIN small s USING (doc_id)
+"""
+
+# deterministic KG / near-dup outputs frozen as golden parquet (generated
+# by scripts/make_goldens.py at sf0.01 — kg_docs/sentences/triples/
+# entity_map come from the INDEPENDENT scalar oracle, the rest freeze the
+# verified pipeline output); the oracle SQL just reads the file back
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens", "sf0.01")
+_GOLDEN_QUERIES = [
+    "kg_docs",
+    "kg_sentences",
+    "kg_triples",
+    "kg_entity_map",
+    "kg_mentions",
+    "kg_semantic_search",
+    "near_dup_pages_minhash",
+    "near_dup_pages_simhash",
+    "ngram_jaccard_dups",
+    "media_features",
+]
+
+
+def _golden_sql() -> dict[str, str]:
+    out = {}
+    for name in _GOLDEN_QUERIES:
+        path = os.path.join(_GOLDEN_DIR, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = f"SELECT * FROM read_parquet('{path}')"
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = dict(_BENCH_QUERIES)
     q.update(
@@ -298,4 +413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_BENCH_SQL)
+    sql = dict(_BENCH_SQL)
+    sql["lang_id_docs"] = _lang_id_sql()
+    sql["quality_by_source"] = _quality_sql()
+    sql["rolling_fingerprints"] = _ROLLING_SQL
+    sql.update(_golden_sql())
+    return sql

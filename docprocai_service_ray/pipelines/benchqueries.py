@@ -337,8 +337,8 @@ def session_stats_q(sf_dir: str):
 
 
 def sliding_event_counts(sf_dir: str):
-    """Sliding 2h/1h windows per event type (rows-only; the overlapping
-    explode is awkward to express in portable SQL)."""
+    """Sliding 2h/1h windows per event type — oracle-checked via the DuckDB
+    window-explode (events × range(n_slots))."""
     from ..stages.windows import sliding_counts
 
     return sliding_counts(_pq(sf_dir, "events", ["ts", "event_type"]))
@@ -625,6 +625,13 @@ SQL: dict[str, str] = {
         SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM d GROUP BY 1
+    """,
+    "sliding_event_counts": """
+        SELECT strftime(date_trunc('hour', ts) - i * INTERVAL 60 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type AS key, COUNT(*) AS n
+        FROM events, range(2) t(i)
+        GROUP BY 1, 2
     """,
     "union_sources": """
         SELECT 'doc' AS src, lang AS key, COUNT(*) AS n FROM documents GROUP BY 2

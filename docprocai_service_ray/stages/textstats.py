@@ -88,20 +88,20 @@ def fingerprint_md5(texts: pd.Series) -> pd.Series:
 
 
 def rolling_fingerprint(texts: pd.Series, window: int = 64) -> pd.Series:
-    """Winnowing-style document fingerprint: min rolling-hash over
-    ``window``-char windows (cheap near-dup prefilter), hex-encoded."""
+    """Winnowing-style document fingerprint: min window-hash over
+    ``window``-char windows (cheap near-dup prefilter), hex-encoded.
+    md5 so the result is DuckDB-oracle-checkable (``min(md5(substr(...)))``
+    over the same window set — hex min is monotone with digest min)."""
 
     def one(text: str) -> str:
         t = text or ""
         if len(t) <= window:
-            return hashlib.blake2b(t.encode("utf-8"), digest_size=8).hexdigest()
-        best = None
+            return hashlib.md5(t.encode("utf-8")).hexdigest()
         step = max(1, (len(t) - window) // 128)  # bounded work per doc
-        for i in range(0, len(t) - window + 1, step):
-            h = hashlib.blake2b(t[i : i + window].encode("utf-8"), digest_size=8).digest()
-            if best is None or h < best:
-                best = h
-        return best.hex()
+        return min(
+            hashlib.md5(t[i : i + window].encode("utf-8")).hexdigest()
+            for i in range(0, len(t) - window + 1, step)
+        )
 
     return texts.map(one)
 

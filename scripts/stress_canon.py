@@ -42,7 +42,14 @@ def main(n_families: int = 80_000) -> None:
             subs.append(f)
             objs.append(forms[0])
     n_surfaces = n_families * (1 + len(variants))
-    ds = rd.from_arrow(pa.table({"subj": subs, "obj": objs})).materialize()
+    # from_arrow yields ONE block — spread it so the banding/linking actor
+    # pools actually parallelize (a real triples_raw input arrives in many
+    # blocks already)
+    ds = (
+        rd.from_arrow(pa.table({"subj": subs, "obj": objs}))
+        .repartition(128)
+        .materialize()
+    )
 
     cfg = dataclasses.replace(
         KGConfig(), driver_canon_max=0, driver_unionfind_max=0, actor_pool_size=8

@@ -1,6 +1,7 @@
-"""Replicates the driver's correctness gate locally: run each Ray query and
-its DuckDB oracle on sf0.01, compare row count, column names and
-order-insensitive values."""
+"""Replicates the driver's correctness gate locally: run EVERY query that
+has an oracle_sql() entry (bench SQL, text-analysis SQL, golden-parquet
+reads) through __ray_entry__ at sf0.01 and compare row count, column names
+and order-insensitive values against DuckDB."""
 
 from __future__ import annotations
 
@@ -10,11 +11,14 @@ import duckdb
 import pandas as pd
 import pytest
 
-from docprocai_service_ray.pipelines.benchqueries import QUERIES, SQL
+import __ray_entry__ as entry
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+ORACLE_SQL = entry.oracle_sql()
+QUERIES = entry.queries()
 
 
 @pytest.fixture(scope="session")
@@ -41,12 +45,12 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(map(repr, rows))
 
 
-@pytest.mark.parametrize("name", sorted(SQL))
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_query_matches_oracle(name, duck):
     ray_df = QUERIES[name](SF_DIR)
     if hasattr(ray_df, "to_pandas"):
         ray_df = ray_df.to_pandas()
-    sql_df = duck.execute(SQL[name]).fetchdf()
+    sql_df = duck.execute(ORACLE_SQL[name]).fetchdf()
     assert sorted(ray_df.columns) == sorted(sql_df.columns), (
         f"{name}: columns {list(ray_df.columns)} vs {list(sql_df.columns)}"
     )
