@@ -376,6 +376,11 @@ _GOLDEN_QUERIES = [
     "near_dup_pages_simhash",
     "ngram_jaccard_dups",
     "media_features",
+    # LSH ops are approximate BY DESIGN (recall measured vs brute force in
+    # tests, not assumed) — no exact SQL can reproduce them; the golden
+    # freeze pins their deterministic output instead
+    "embedding_near_dup",
+    "ann_lsh_topk",
 ]
 
 

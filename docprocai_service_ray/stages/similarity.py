@@ -134,32 +134,48 @@ def embedding_near_dup_pairs(ds, *, dim: int, threshold: float = 0.95,
     """Embedding-cosine near-duplicate pairs: bucket by hyperplane LSH,
     all-pairs cosine within bucket (capped), keep cos ≥ threshold.
     Approximate recall (bucket boundaries) — by design; exact variant is a
-    full self-join, intractable at corpus scale."""
+    full self-join, intractable at corpus scale.
+
+    Each vector lands in exactly ONE bucket (single hyperplane table), so a
+    pair can only arise in one bucket — the output is duplicate-free by
+    construction; no post-hoc pair dedup shuffle. Buckets are co-located
+    with partition_reduce (one vectorized pandas call per hash partition,
+    not one Ray dispatch per bucket); pair scoring is one matmul +
+    triu_indices per bucket, no Python i/j loop."""
+    from ..state.groupby import partition_reduce
+
     bucketed = hyperplane_buckets(
         ds, dim=dim, n_planes=n_planes, seed=seed, id_col=id_col, emb_col=emb_col
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(pair_cap)
-        ids = g[id_col].tolist()
-        mat = np.asarray(g[emb_col].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        mat = mat / norms[:, None]
-        sims = mat @ mat.T
-        out_a, out_b, out_s = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_s.append(round(float(sims[i, j]), 6))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
+    def pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
+        id_dtype = part[id_col].dtype  # keep empty-output schema consistent
+        # drop singleton buckets vectorized before any per-bucket work
+        part = part[part.groupby("bucket")["bucket"].transform("size") > 1]
+        frames = []
+        for _, g in part.groupby("bucket", sort=False):
+            g = g.sort_values(id_col).head(pair_cap)
+            n = len(g)
+            if n < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            mat = np.asarray(g[emb_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            mat = mat / norms[:, None]
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(n, k=1)
+            keep = sims[iu, ju] >= threshold
+            if keep.any():
+                frames.append(pd.DataFrame({
+                    "id_a": ids[iu[keep]],
+                    "id_b": ids[ju[keep]],
+                    "cosine": np.round(sims[iu[keep], ju[keep]], 6),
+                }))
+        if not frames:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                                 "id_b": pd.Series([], dtype=id_dtype),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
 
-    return (
-        bucketed.groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.iloc[0:1], batch_format="pandas")
-    )
+    return partition_reduce(bucketed, ["bucket"], pairs_partition)
