@@ -211,35 +211,16 @@ def _ngram_jaccard_dups(sf_dir: str):
     return ngram_jaccard_pairs(docs, "url", "text", shingle_words=3, threshold=0.6)
 
 
-def _media_features(sf_dir: str):
-    """Multimodal plumbing over REAL FILES: the corpus html payloads are
-    written once as individual files under /tmp, read back with
-    ``ray.data.read_binary_files`` (one row per file, extension-dispatched
-    kind), and decoded by the actor-pool feature stage (decode kernel
-    stubbed deterministically — see stages/multimodal.py)."""
+def _read_media(n: int = 500):
+    """Deterministic REAL media corpus (valid PNG/BMP/WAV/AVI files under
+    /tmp; sources/mediagen.py) → (media_id, kind, payload) Dataset with
+    path-relative ids."""
     import os
 
-    import pyarrow.parquet as pq
+    from docprocai_service_ray.sources.mediagen import ensure_media_corpus
+    from docprocai_service_ray.stages.multimodal import read_media_files
 
-    from docprocai_service_ray.sources.webgen import ensure_corpus
-    from docprocai_service_ray.stages.multimodal import (
-        extract_media_features,
-        read_media_files,
-    )
-
-    corpus = ensure_corpus(500, _CFG.seed, _CFG.embedding_dim)
-    media_dir = f"/tmp/raykg_media/{_PIPELINE_VERSION}_n500_s{_CFG.seed}"
-    done = media_dir + ".done"  # marker OUTSIDE the dir read_binary_files scans
-    if not os.path.exists(done):
-        os.makedirs(media_dir, exist_ok=True)
-        t = pq.read_table(
-            os.path.join(corpus, "web_pages"), columns=["url", "html"]
-        ).sort_by("url")
-        for i, payload in enumerate(t["html"].to_pylist()):
-            with open(os.path.join(media_dir, f"page-{i:05d}.png"), "wb") as f:
-                f.write(payload or b"")
-        with open(done, "w") as f:
-            f.write("ok")
+    media_dir = ensure_media_corpus(n, _CFG.seed)
     media = read_media_files(media_dir)
 
     def _rel_id(batch):
@@ -251,9 +232,48 @@ def _media_features(sf_dir: str):
             pa.array(ids, pa.string()),
         )
 
-    media = media.map_batches(_rel_id, batch_format="pyarrow")
-    out = extract_media_features(media, feature_dim=16, batch_size=64)
+    return media.map_batches(_rel_id, batch_format="pyarrow")
+
+
+def _media_features(sf_dir: str):
+    """Multimodal path over REAL FILES with REAL decode: valid PNG/BMP/WAV/
+    AVI files read via ``ray.data.read_binary_files`` and decoded by the
+    pure-stdlib StdlibDecoder (actual pixels / PCM / container headers —
+    stages/multimodal.py, functions/mediacodec.py). Only codecs the stdlib
+    cannot reach (JPEG pixels, MP4 frames) remain stubbed."""
+    from docprocai_service_ray.stages.multimodal import (
+        StdlibDecoder,
+        extract_media_features,
+    )
+
+    out = extract_media_features(
+        _read_media(500), feature_dim=16, batch_size=64,
+        decoder_factory=StdlibDecoder,
+    )
     return out.select_columns(["media_id", "kind", "width", "height", "n_frames", "n_bytes"])
+
+
+def _media_thumbnails(sf_dir: str):
+    """Thumbnail render + image re-encode (M2/M9 analog): decode PNG/BMP
+    pixels, block-mean downsample to ≤32px, re-encode as PNG. Returns
+    metadata + a content hash of the thumbnail bytes (deterministic)."""
+    import hashlib
+
+    from docprocai_service_ray.stages.multimodal import render_thumbnails
+
+    thumbs = render_thumbnails(_read_media(500), max_px=32, batch_size=64)
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_id": df["media_id"],
+                "thumb_w": df["thumb_w"].astype("int32"),
+                "thumb_h": df["thumb_h"].astype("int32"),
+                "thumb_md5": [hashlib.md5(b).hexdigest() for b in df["thumb"]],
+            }
+        )
+
+    return thumbs.map_batches(digest, batch_format="pandas")
 
 
 def _rolling_fingerprints(sf_dir: str):
@@ -376,6 +396,7 @@ _GOLDEN_QUERIES = [
     "near_dup_pages_simhash",
     "ngram_jaccard_dups",
     "media_features",
+    "media_thumbnails",
     # LSH ops are approximate BY DESIGN (recall measured vs brute force in
     # tests, not assumed) — no exact SQL can reproduce them; the golden
     # freeze pins their deterministic output instead
@@ -411,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_mentions": _kg_mentions,
             "ngram_jaccard_dups": _ngram_jaccard_dups,
             "media_features": _media_features,
+            "media_thumbnails": _media_thumbnails,
             "rolling_fingerprints": _rolling_fingerprints,
         }
     )

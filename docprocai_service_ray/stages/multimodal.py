@@ -4,15 +4,14 @@ typed metadata, processed by actor-pool ``map_batches`` stages.
 The reference's media path (ffmpeg demux TranscriptGenerator.py:42-55,
 frame extraction VideoProcessor.py:46-84, thumbnail render
 PdfProcessor.py:34, JPEG encode DocProcAiService.py:123-124) needs native
-decoders that are NOT in this container — so the decode kernels here are
-STUBS behind ``Decoder`` implementations:
-
-- ``NotImplementedDecoder`` raises ``NotImplementedError`` (the marked
-  stub — swap in a PIL/ffmpeg-backed Decoder on a cluster that has them);
-- ``DeterministicFakeDecoder`` derives plausible metadata/features from a
-  hash of the payload bytes, so the Ray-side plumbing — schema, batch
-  sizing for large binary rows, actor signature, output layout — is real
-  and tested end-to-end.
+decoders. The default ``StdlibDecoder`` REALLY decodes the formats the
+stdlib can reach (functions/mediacodec.py): PNG and 24-bit BMP pixels,
+WAV PCM, JPEG/GIF header dimensions, AVI container headers. Codecs the
+stdlib cannot reach (JPEG pixels, MP4/MKV frames) stay behind
+``NotImplementedDecoder`` — swap in a PIL/ffmpeg-backed Decoder on a
+cluster that has them; the Ray plumbing is identical either way.
+``DeterministicFakeDecoder`` (hash-derived metadata) remains for plumbing
+tests that want format-independent payloads.
 
 Scale notes: binary payloads are MBs/row → small ``batch_size`` (default
 32) and the payload column is dropped in-batch once features are computed,
@@ -27,6 +26,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..functions import mediacodec as mc
+
 
 class Decoder:
     """Decode one media payload → (width, height, n_frames, feature[dim])."""
@@ -36,14 +37,68 @@ class Decoder:
 
 
 class NotImplementedDecoder(Decoder):
-    """The real-decoder slot. Image/audio libraries are not available in
-    this environment; installing PIL/ffmpeg and implementing ``decode``
-    here is the only change needed — the Ray plumbing stays as-is."""
+    """The native-decoder slot for codecs the stdlib cannot reach (JPEG
+    pixels, MP4/MKV/WebM frames). Installing PIL/ffmpeg and implementing
+    ``decode`` here is the only change needed — the Ray plumbing stays
+    as-is."""
 
     def decode(self, payload: bytes, kind: str):  # pragma: no cover - stub
         raise NotImplementedError(
             "media decoding requires PIL/ffmpeg, not present in this container"
         )
+
+
+class StdlibDecoder(Decoder):
+    """REAL decode via pure-stdlib codecs (functions/mediacodec.py),
+    dispatched on magic bytes (content sniffing beats the extension):
+
+    - PNG / 24-bit BMP → full pixel decode; feature = luminance histogram
+      of the actual pixels; n_frames = 1.
+    - WAV → full PCM decode; feature = per-band RMS energy of the actual
+      samples; (width, height) = (channels, sample rate); n_frames = PCM
+      frame count (the duration-probe analog, SURVEY M8).
+    - JPEG / GIF → header-only dimensions (pixel decode needs native DCT /
+      LZW); feature = byte-value histogram, documented as header-tier.
+    - AVI → RIFF ``avih`` probe: (width, height, total_frames); codec
+      frames not decoded.
+
+    Unknown payloads raise ValueError — garbage should fail loudly, not
+    fake features."""
+
+    def __init__(self, feature_dim: int = 16):
+        self.feature_dim = feature_dim
+
+    def _byte_hist(self, payload: bytes) -> np.ndarray:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16).astype(np.float32)
+        feat = np.resize(hist, self.feature_dim)
+        n = float(np.linalg.norm(feat)) or 1.0
+        return feat / n
+
+    def decode(self, payload: bytes, kind: str):
+        payload = payload or b""
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            img = mc.png_decode(payload)
+            h, w = img.shape[:2]
+            return w, h, 1, mc.gray_histogram_feature(img, self.feature_dim)
+        if payload[:2] == b"BM":
+            img = mc.bmp_decode(payload)
+            h, w = img.shape[:2]
+            return w, h, 1, mc.gray_histogram_feature(img, self.feature_dim)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            samples, rate = mc.wav_decode(payload)
+            feat = mc.audio_band_feature(samples, self.feature_dim)
+            return samples.shape[1], rate, samples.shape[0], feat
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            w, h, frames = mc.avi_probe(payload)
+            return w, h, frames, self._byte_hist(payload)
+        if payload[:2] == b"\xff\xd8":
+            w, h = mc.jpeg_dims(payload)
+            return w, h, 1, self._byte_hist(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = mc.gif_dims(payload)
+            return w, h, 1, self._byte_hist(payload)
+        raise ValueError(f"undecodable payload (kind={kind}, head={payload[:8]!r})")
 
 
 class DeterministicFakeDecoder(Decoder):
@@ -84,7 +139,10 @@ class MediaFeatureExtractor:
     def __init__(self, decoder_factory=DeterministicFakeDecoder, feature_dim: int = 16,
                  id_col: str = "media_id", payload_col: str = "payload",
                  kind_col: str = "kind"):
-        self.decoder = decoder_factory(feature_dim) if decoder_factory is DeterministicFakeDecoder else decoder_factory()
+        try:
+            self.decoder = decoder_factory(feature_dim)
+        except TypeError:  # factory that sizes itself (or native wrapper)
+            self.decoder = decoder_factory()
         self.dim = feature_dim
         self.id_col, self.payload_col, self.kind_col = id_col, payload_col, kind_col
 
@@ -150,6 +208,67 @@ def read_media_files(paths, *, batch_size: int = 32):
         )
 
     return raw.map_batches(to_media, batch_format="pyarrow", batch_size=batch_size)
+
+
+class ThumbnailRenderer:
+    """Actor-pool stage: decode image payloads (PNG / 24-bit BMP),
+    block-mean downsample to fit ``max_px``, re-encode as PNG — the
+    thumbnail-render + image-encode analog (reference renders page
+    thumbnails PdfProcessor.py:34 and JPEG-encodes them
+    DocProcAiService.py:123-124; PNG here because the stdlib has no DCT
+    encoder — swap the encode call for JPEG on a PIL cluster).
+
+    Output: (media_id, thumb, thumb_w, thumb_h) — payload dropped
+    in-batch, thumbnails are ≤ max_px² so downstream rows are small."""
+
+    def __init__(self, max_px: int = 64, id_col: str = "media_id",
+                 payload_col: str = "payload"):
+        self.max_px = max_px
+        self.id_col, self.payload_col = id_col, payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, thumbs, ws, hs = [], [], [], []
+        for pid, payload in zip(
+            batch[self.id_col].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            payload = payload or b""
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                img = mc.png_decode(payload)
+            elif payload[:2] == b"BM":
+                img = mc.bmp_decode(payload)
+            else:
+                continue  # non-image rows pass through the pipeline untouched
+            h, w = img.shape[:2]
+            scale = max(h, w) / self.max_px
+            th = max(1, int(round(h / scale))) if scale > 1 else h
+            tw = max(1, int(round(w / scale))) if scale > 1 else w
+            thumb = mc.block_mean_resize(img, th, tw)
+            ids.append(pid)
+            thumbs.append(mc.png_encode(thumb))
+            ws.append(thumb.shape[1])
+            hs.append(thumb.shape[0])
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.string()),
+                pa.array(thumbs, pa.binary()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+            ],
+            names=["media_id", "thumb", "thumb_w", "thumb_h"],
+        )
+
+
+def render_thumbnails(ds, *, max_px: int = 64, batch_size: int = 32,
+                      concurrency: int = 2):
+    """binary media Dataset → (media_id, thumb PNG, thumb_w, thumb_h)."""
+    return ds.map_batches(
+        ThumbnailRenderer,
+        fn_constructor_kwargs={"max_px": max_px},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 def extract_media_features(ds, *, feature_dim: int = 16, batch_size: int = 32,

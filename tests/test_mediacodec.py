@@ -1,0 +1,186 @@
+"""Pure-stdlib media codecs (functions/mediacodec.py) and the real-decode
+multimodal path (StdlibDecoder, render_thumbnails)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from docprocai_service_ray.functions import mediacodec as mc
+from docprocai_service_ray.sources.mediagen import (
+    ensure_media_corpus,
+    gen_audio,
+    gen_avi,
+    gen_image,
+)
+from docprocai_service_ray.stages.multimodal import StdlibDecoder
+
+
+class TestCodecRoundTrips:
+    def test_png_rgb(self):
+        img = gen_image(42, 0)
+        assert np.array_equal(mc.png_decode(mc.png_encode(img)), img)
+
+    def test_png_gray_and_rgba(self):
+        img = gen_image(42, 1)
+        gray = img[:, :, 0]
+        assert np.array_equal(mc.png_decode(mc.png_encode(gray)), gray)
+        rgba = np.dstack([img, np.full(img.shape[:2], 7, np.uint8)])
+        assert np.array_equal(mc.png_decode(mc.png_encode(rgba)), rgba)
+
+    def test_png_dims_without_decode(self):
+        img = gen_image(42, 2)
+        assert mc.png_dims(mc.png_encode(img)) == (img.shape[1], img.shape[0])
+
+    def test_png_all_five_filters_decode(self):
+        """Decode a PNG whose five scanlines use filter types 0–4 (our
+        encoder only emits 0; foreign PNGs use all of them)."""
+        rng = np.random.RandomState(0)
+        src = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+        ch, stride = 3, 7 * 3
+
+        def filt(y, ftype):
+            line = src[y].reshape(-1).astype(int)
+            prev = src[y - 1].reshape(-1).astype(int) if y > 0 else np.zeros(stride, int)
+            out = np.zeros(stride, int)
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ftype == 0:
+                    out[x] = line[x]
+                elif ftype == 1:
+                    out[x] = (line[x] - a) % 256
+                elif ftype == 2:
+                    out[x] = (line[x] - b) % 256
+                elif ftype == 3:
+                    out[x] = (line[x] - ((a + b) >> 1)) % 256
+                else:
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                    out[x] = (line[x] - pred) % 256
+            return out
+
+        raw = b"".join(
+            bytes([f]) + bytes(filt(y, f).astype(np.uint8)) for y, f in enumerate(range(5))
+        )
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(mc.png_decode(png), src)
+
+    def test_bmp(self):
+        img = gen_image(7, 3)
+        assert np.array_equal(mc.bmp_decode(mc.bmp_encode(img)), img)
+
+    def test_wav(self):
+        samples, rate = gen_audio(42, 0)
+        s2, r2 = mc.wav_decode(mc.wav_encode(samples, rate))
+        assert r2 == rate and np.array_equal(s2, samples)
+
+    def test_avi_probe(self):
+        w, h, frames = mc.avi_probe(gen_avi(42, 0))
+        assert w > 0 and h > 0 and frames > 0
+
+    def test_jpeg_gif_header_dims(self):
+        jpg = (
+            b"\xff\xd8"
+            + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (240).to_bytes(2, "big") + (320).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+        )
+        assert mc.jpeg_dims(jpg) == (320, 240)
+        gif = b"GIF89a" + struct.pack("<HH", 64, 48) + b"\x00" * 3
+        assert mc.gif_dims(gif) == (64, 48)
+
+    def test_garbage_rejected(self):
+        for fn in (mc.png_decode, mc.bmp_decode, mc.jpeg_dims, mc.gif_dims, mc.avi_probe):
+            with pytest.raises(ValueError):
+                fn(b"not a media file at all")
+
+
+class TestKernels:
+    def test_block_mean_resize_exact_on_constant(self):
+        img = np.full((40, 60, 3), 200, np.uint8)
+        out = mc.block_mean_resize(img, 10, 15)
+        assert out.shape == (10, 15, 3) and (out == 200).all()
+
+    def test_block_mean_resize_preserves_mean(self):
+        img = gen_image(1, 1)
+        out = mc.block_mean_resize(img, 8, 8)
+        assert abs(float(out.mean()) - float(img.mean())) < 8.0
+
+    def test_features_are_unit_norm(self):
+        img = gen_image(2, 2)
+        f = mc.gray_histogram_feature(img, 16)
+        assert f.shape == (16,) and abs(np.linalg.norm(f) - 1.0) < 1e-5
+        samples, _ = gen_audio(2, 2)
+        a = mc.audio_band_feature(samples, 16)
+        assert a.shape == (16,) and abs(np.linalg.norm(a) - 1.0) < 1e-5
+
+
+class TestStdlibDecoder:
+    def test_dispatch_by_magic_bytes(self):
+        d = StdlibDecoder(16)
+        img = gen_image(5, 5)
+        w, h, nf, feat = d.decode(mc.png_encode(img), "image")
+        assert (w, h, nf) == (img.shape[1], img.shape[0], 1)
+        # feature comes from REAL pixels: identical image → identical feature
+        assert np.array_equal(feat, mc.gray_histogram_feature(img, 16))
+        w2, h2, _, _ = d.decode(mc.bmp_encode(img), "image")
+        assert (w2, h2) == (w, h)
+        samples, rate = gen_audio(5, 5)
+        ch_, rate_, nframes, afeat = d.decode(mc.wav_encode(samples, rate), "audio")
+        assert ch_ == 1 and rate_ == rate and nframes == len(samples)
+        assert np.array_equal(afeat, mc.audio_band_feature(samples, 16))
+        av_w, av_h, av_f, _ = d.decode(gen_avi(5, 5), "video")
+        assert av_w > 0 and av_f > 0
+
+    def test_garbage_raises(self):
+        with pytest.raises(ValueError):
+            StdlibDecoder(8).decode(b"<html>not media</html>", "image")
+
+
+class TestRealMediaPipeline:
+    def test_features_and_thumbnails_over_real_files(self, ray_session, tmp_path):
+        from docprocai_service_ray.stages.multimodal import (
+            StdlibDecoder,
+            extract_media_features,
+            read_media_files,
+            render_thumbnails,
+        )
+
+        d = ensure_media_corpus(24, 123, root=str(tmp_path))
+        media = read_media_files(d)
+        feats = extract_media_features(
+            media, feature_dim=8, decoder_factory=StdlibDecoder, concurrency=1
+        ).take_all()
+        assert len(feats) == 24
+        by_kind = {r["kind"] for r in feats}
+        assert by_kind == {"image", "audio", "video"}
+        for r in feats:
+            if r["kind"] == "audio":
+                assert r["height"] == 8000 and r["n_frames"] > 100  # rate, PCM frames
+            else:
+                assert r["width"] > 0 and r["height"] > 0
+
+        thumbs = render_thumbnails(read_media_files(d), max_px=16, concurrency=1).take_all()
+        assert len(thumbs) == 12  # the 12 image files (png + bmp)
+        for t in thumbs:
+            assert max(t["thumb_w"], t["thumb_h"]) <= 16
+            back = mc.png_decode(t["thumb"])  # thumbnails are valid PNGs
+            assert back.shape[0] == t["thumb_h"] and back.shape[1] == t["thumb_w"]
