@@ -249,18 +249,25 @@ def idle_customers(sf_dir: str):
     return ds.groupby("c_mktsegment").map_groups(per_seg, batch_format="pandas")
 
 
-def orders_lineitem_join(sf_dir: str):
-    """Both sides large → partitioned hash join (state/joins.hash_join)."""
+def orders_lineitem_join(sf_dir: str, strategy: str = "auto"):
+    """Fact-fact join (state/joins.hash_join): auto tier broadcasts the
+    dimension-sized right side; ``strategy="shuffle"`` forces the
+    both-sides-large partitioned path (kept oracle-checked via the
+    ``orders_lineitem_join_shuffle`` query)."""
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    li = li.map_batches(
-        lambda df: pd.DataFrame({
-            "o_orderkey": df["l_orderkey"],
-            "rev": df["l_extendedprice"] * (1 - df["l_discount"]),
-        }),
-        batch_format="pandas",
-    )
+
+    def _project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.Table.from_arrays([b["l_orderkey"], rev], names=["o_orderkey", "rev"])
+
+    li = li.map_batches(_project, batch_format="pyarrow", zero_copy_batch=True)
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = hash_join(li, orders, on="o_orderkey")  # buckets auto-sized from input bytes
+    # buckets auto-sized from input bytes (shuffle tier only)
+    joined = hash_join(li, orders, on="o_orderkey", strategy=strategy)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("o_orderpriority", as_index=False).agg(
@@ -281,33 +288,34 @@ def orders_lineitem_join(sf_dir: str):
     )
 
 
-def asof_events_orders(sf_dir: str):
+def asof_events_orders(sf_dir: str, strategy: str = "auto"):
     """As-of join: each event matched to the user's latest order at or
     before the event time (custom operator; right side pre-aggregated to
     one row per (key, time) so the match is deterministic)."""
     events = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
 
-    from ..state.groupby import partition_reduce
-
     def pre(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["o_custkey", "o_orderdate"], as_index=False).agg(
+        """Per-batch PARTIAL dedup (no shuffle) — the final merge runs
+        inside asof_join via right_reduce (once at broadcast build, or per
+        partition in the shuffle tier), so the right side never needs its
+        own all-to-all."""
+        g = df.groupby(["o_custkey", "o_orderdate"], as_index=False).agg(
             best_price=("o_totalprice", "max")
-        )
-
-    def merge(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby(["o_custkey", "o_orderdate"], as_index=False).agg(
-            best_price=("best_price", "max")
         )
         return g.rename(columns={"o_custkey": "user_id"})
 
-    orders_u = partition_reduce(
+    def dedup_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "o_orderdate"], as_index=False).agg(
+            best_price=("best_price", "max")
+        )
+
+    joined = asof_join(
+        events,
         orders.map_batches(pre, batch_format="pandas"),
-        ["o_custkey", "o_orderdate"],
-        merge,
-        num_partitions=16,
+        by="user_id", on="ts", right_on="o_orderdate",
+        right_reduce=dedup_final, strategy=strategy,
     )
-    joined = asof_join(events, orders_u, by="user_id", on="ts", right_on="o_orderdate")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["best_price"].notna()]
@@ -604,6 +612,23 @@ SQL: dict[str, str] = {
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         GROUP BY 1
     """,
+    # same answers as the auto-tier queries — these force the partitioned
+    # shuffle tier so BOTH join strategies stay oracle-checked
+    "orders_lineitem_join_shuffle": """
+        SELECT o_orderpriority, COUNT(*) AS n_lines,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1
+    """,
+    "asof_events_orders_shuffle": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS best_price
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_type, COUNT(*) AS n, ROUND(SUM(o.best_price), 2) AS matched_total
+        FROM events e ASOF JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        GROUP BY 1
+    """,
     "region_customer_rollup": """
         SELECT r_name, COUNT(*) AS customers, ROUND(SUM(c_acctbal), 2) AS total_acctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -683,7 +708,9 @@ QUERIES = {
     "large_part_lineitems": large_part_lineitems,
     "idle_customers": idle_customers,
     "orders_lineitem_join": orders_lineitem_join,
+    "orders_lineitem_join_shuffle": lambda sf: orders_lineitem_join(sf, strategy="shuffle"),
     "asof_events_orders": asof_events_orders,
+    "asof_events_orders_shuffle": lambda sf: asof_events_orders(sf, strategy="shuffle"),
     "union_sources": union_sources,
     "session_stats_q": session_stats_q,
     "sliding_event_counts": sliding_event_counts,

@@ -109,6 +109,66 @@ def anti_join_filter(ds, column: str, keys_ref: ray.ObjectRef):
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
+_BROADCAST_MAX_BYTES = 64 << 20  # small-side cap for the map-side join tier
+
+
+def _collect_arrow(ds) -> pa.Table:
+    """Materialize a (small, size-gated) Dataset as one Arrow table on the
+    driver — only ever called under ``_BROADCAST_MAX_BYTES``."""
+    tables = ray.get(ds.to_arrow_refs())
+    if not tables:
+        return pa.Table.from_pylist([], schema=ds.schema().base_schema)
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+def _broadcast_join(left, right, keys: list[str], *, how: str,
+                    suffixes: tuple[str, str]):
+    """Map-side join: the right side is collected once (≤ the broadcast
+    cap), ``ray.put`` once, and every left batch runs a vectorized
+    ``pyarrow.Table.join`` against it — ZERO shuffle, no repartitioning
+    of the big side. The analog of Spark's auto-broadcast tier."""
+    l_cols = left.schema().names
+    r_tbl = _collect_arrow(right)
+    rename = {
+        c: c + suffixes[1]
+        for c in r_tbl.schema.names
+        if c in l_cols and c not in keys
+    }
+    if rename:
+        r_tbl = r_tbl.rename_columns(
+            [rename.get(c, c) for c in r_tbl.schema.names]
+        )
+    # harmonize key dtypes with the left side (pa.Table.join is strict);
+    # left may be pandas-blocked, in which case the first batch casts
+    l_schema = left.schema().base_schema
+    if isinstance(l_schema, pa.Schema):
+        for k in keys:
+            lt = l_schema.field(k).type
+            if r_tbl.schema.field(k).type != lt:
+                r_tbl = r_tbl.set_column(
+                    r_tbl.schema.get_field_index(k), k, r_tbl[k].cast(lt)
+                )
+    r_ref = ray.put(r_tbl)
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+
+    def _join(batch: pa.Table) -> pa.Table:
+        r = ray.get(r_ref)
+        for k in keys:  # per-batch key-type harmonization (pandas blocks)
+            if batch.schema.field(k).type != r.schema.field(k).type:
+                batch = batch.set_column(
+                    batch.schema.get_field_index(k), k,
+                    batch[k].cast(r.schema.field(k).type),
+                )
+        return batch.join(r, keys=keys, join_type=join_type)
+
+    # batch_size=None → one call per BLOCK: pa.Table.join rebuilds the
+    # right-side hash table per call, so row-sized batches would pay that
+    # build hundreds of times per block
+    return left.map_batches(
+        _join, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def hash_join(
     left,
     right,
@@ -119,21 +179,36 @@ def hash_join(
     seed: int = 0,
     suffixes: tuple[str, str] = ("", "_r"),
     salt: int = 1,
+    strategy: str = "auto",
+    broadcast_max_bytes: int = _BROADCAST_MAX_BYTES,
 ):
     """Partitioned hash join of two Datasets on ``on``.
 
-    Both sides get a ``__bucket`` column from a stable hash of the key,
-    are unioned with a ``__side`` tag, and ``groupby(__bucket)`` brings
+    ``strategy="auto"`` picks the tier by the size of the SMALL side, never
+    the big side: when the right side's metadata-only byte estimate fits
+    ``broadcast_max_bytes``, it is broadcast once and every left batch does
+    a map-side ``pyarrow.Table.join`` — zero shuffle (the dominant case
+    for dimension tables, label maps, dup winners). Otherwise (or with
+    ``strategy="shuffle"``) the general both-sides-large path runs: both
+    sides get a ``__bucket`` column from a stable hash of the key, are
+    unioned with a ``__side`` tag, and ``groupby(__bucket)`` brings
     matching keys together; a pandas merge runs per bucket. One all-to-all
-    exchange total (the groupby); no driver materialization.
+    exchange total; no driver materialization.
 
     ``buckets=None`` auto-sizes from a metadata-only input-bytes estimate
     (~64 MB per bucket). ``salt=k`` defuses skewed keys: each LEFT row gets
     a deterministic sub-key in [0, k) and the RIGHT side is replicated k
     ways, so a head key's rows spread over k merge tasks instead of one
-    straggler (right side should be the smaller side when salting).
+    straggler (right side should be the smaller side when salting; salting
+    forces the shuffle tier).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if strategy == "auto" and salt == 1 and how in ("inner", "left"):
+        rb = _meta_size_bytes(right)
+        if rb is not None and rb <= broadcast_max_bytes:
+            strategy = "broadcast"
+    if strategy == "broadcast":
+        return _broadcast_join(left, right, keys, how=how, suffixes=suffixes)
     if buckets is None:
         buckets = auto_buckets(left, right)
     l_cols = left.schema().names
@@ -194,6 +269,39 @@ def hash_join(
     return both.groupby("__bucket").map_groups(_merge, batch_format="pandas")
 
 
+def _broadcast_asof(left, right, *, by: str, on: str, right_on: str,
+                    direction: str, right_reduce=None):
+    """Map-side as-of: right side collected (size-gated), renamed,
+    time-sorted once; every left batch sorts itself and merge_asofs
+    against the broadcast table."""
+    l_cols = left.schema().names
+    r_tbl = _collect_arrow(right)
+    rename = {c: c + "_r" for c in r_tbl.schema.names if c in l_cols and c != by}
+    if rename:
+        r_tbl = r_tbl.rename_columns([rename.get(c, c) for c in r_tbl.schema.names])
+    right_on_final = rename.get(right_on, right_on)
+    r_df = r_tbl.to_pandas()
+    if right_reduce is not None:
+        r_df = right_reduce(r_df)
+    r_df[right_on_final] = pd.to_datetime(r_df[right_on_final]).astype("datetime64[us]")
+    r_df = r_df.sort_values(right_on_final, kind="stable").reset_index(drop=True)
+    r_ref = ray.put(r_df)
+    r_extra = [c for c in r_df.columns if c not in l_cols and c != by]
+
+    def _merge(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(r_ref)
+        l = batch.copy()
+        l[on] = pd.to_datetime(l[on]).astype("datetime64[us]")
+        l = l.sort_values(on, kind="stable")
+        if r.empty:
+            return l.assign(**{c: None for c in r_extra})
+        return pd.merge_asof(
+            l, r, left_on=on, right_on=right_on_final, by=by, direction=direction,
+        )
+
+    return left.map_batches(_merge, batch_format="pandas", batch_size=None)
+
+
 def asof_join(
     left,
     right,
@@ -203,6 +311,9 @@ def asof_join(
     right_on: str | None = None,
     direction: str = "backward",
     num_partitions: int | None = None,
+    strategy: str = "auto",
+    broadcast_max_bytes: int = _BROADCAST_MAX_BYTES,
+    right_reduce=None,
 ):
     """As-of join (custom operator — Ray Data has no native equivalent;
     SURVEY-mandated composition (a): union + groupby + per-group
@@ -217,10 +328,32 @@ def asof_join(
     tagged, unioned and grouped by ``hash(by) % P`` in ONE shuffle; within
     a partition a single vectorized ``pd.merge_asof(by=...)`` handles
     every key at once — never one Python call per key.
+
+    Broadcast tier (``strategy="auto"``): as-of only needs the RIGHT side
+    complete per key — the left can arrive in arbitrary chunks. So when
+    the right side's metadata byte estimate fits the broadcast cap, it is
+    collected + time-sorted ONCE, ``ray.put`` once, and each left batch
+    runs ``pd.merge_asof`` against it directly — zero shuffle of the big
+    (event) side.
+
+    ``right_reduce`` (optional): a vectorized grouped FINAL reduce for a
+    right side that arrives as per-batch partials (e.g. max price per
+    (key, time)). Applied once on the collected table in the broadcast
+    tier, per partition in the shuffle tier — the caller then needs no
+    separate pre-join shuffle of the right side at all.
     """
+    right_on = right_on or on
+    if strategy == "auto" and num_partitions is None:
+        rb = _meta_size_bytes(right)
+        if rb is not None and rb <= broadcast_max_bytes:
+            strategy = "broadcast"
+    if strategy == "broadcast":
+        return _broadcast_asof(
+            left, right, by=by, on=on, right_on=right_on, direction=direction,
+            right_reduce=right_reduce,
+        )
     if num_partitions is None:
         num_partitions = auto_buckets(left, right)
-    right_on = right_on or on
     l_cols = left.schema().names
     r_cols = right.schema().names
     rename = {c: c + "_r" for c in r_cols if c in l_cols and c != by}
@@ -253,6 +386,8 @@ def asof_join(
         group = group.drop(columns="__part")
         l = group[group["__side"] == "l"][l_cols]
         r = group[group["__side"] == "r"][r_side_cols]
+        if right_reduce is not None and not r.empty:
+            r = right_reduce(r)
         if l.empty:
             return l.assign(
                 **{c: pd.Series(dtype=r[c].dtype) for c in r_side_cols if c != by}

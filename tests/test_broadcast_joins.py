@@ -1,0 +1,116 @@
+"""Broadcast join tiers (state/joins.py): the map-side pyarrow join and
+map-side merge_asof must produce EXACTLY the shuffle tier's rows."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from docprocai_service_ray.state.joins import asof_join, hash_join
+
+
+def _sorted_rows(ds, cols):
+    df = ds.to_pandas()[cols]
+    rows = [
+        tuple("NaN" if isinstance(v, float) and np.isnan(v) else v for v in t)
+        for t in df.itertuples(index=False)
+    ]
+    return sorted(map(repr, rows))
+
+
+@pytest.fixture()
+def sides(ray_session):
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 50, 500),
+            "v": rng.randn(500).round(3),
+            "shared": rng.randint(0, 9, 500),  # collides with right
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": np.arange(0, 60),  # some keys unmatched on either side
+            "w": np.arange(0, 60) * 10,
+            "shared": np.arange(0, 60) % 3,
+        }
+    )
+    return rd.from_pandas(left), rd.from_pandas(right)
+
+
+class TestBroadcastHashJoin:
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_matches_shuffle_tier(self, sides, how):
+        left, right = sides
+        cols = ["k", "v", "shared", "w", "shared_r"]
+        b = hash_join(left, right, on="k", how=how, strategy="broadcast")
+        s = hash_join(left, right, on="k", how=how, strategy="shuffle")
+        assert _sorted_rows(b, cols) == _sorted_rows(s, cols)
+
+    def test_auto_picks_broadcast_for_small_right(self, sides):
+        left, right = sides
+        out = hash_join(left, right, on="k")  # auto
+        # broadcast tier emits no __bucket/__side plumbing columns
+        assert set(out.schema().names) == {"k", "v", "shared", "w", "shared_r"}
+        assert out.count() == 500
+
+    def test_key_dtype_harmonized(self, ray_session):
+        left = rd.from_pandas(pd.DataFrame({"k": np.arange(5, dtype=np.int64), "v": range(5)}))
+        right = rd.from_arrow(
+            __import__("pyarrow").Table.from_pydict(
+                {"k": __import__("pyarrow").array([1, 2, 3], type=__import__("pyarrow").int32()),
+                 "w": __import__("pyarrow").array([10, 20, 30])}
+            )
+        )
+        out = hash_join(left, right, on="k", strategy="broadcast").to_pandas()
+        assert sorted(out["k"]) == [1, 2, 3]
+
+
+class TestBroadcastAsof:
+    @pytest.fixture()
+    def asof_sides(self, ray_session):
+        rng = np.random.RandomState(11)
+        left = pd.DataFrame(
+            {
+                "uid": rng.randint(0, 20, 300),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 10_000, 300), unit="m"),
+                "etype": rng.choice(["a", "b"], 300),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "uid": rng.randint(0, 25, 120),
+                "odate": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 10_000, 120), unit="m"),
+                "price": rng.randint(1, 100, 120).astype("float64"),
+            }
+        )
+        return rd.from_pandas(left), rd.from_pandas(right)
+
+    def test_matches_shuffle_tier(self, asof_sides):
+        left, right = asof_sides
+        kw = dict(by="uid", on="ts", right_on="odate")
+        b = asof_join(left, right, strategy="broadcast", **kw)
+        s = asof_join(left, right, strategy="shuffle", num_partitions=8, **kw)
+        cols = ["uid", "ts", "etype", "price"]
+        assert _sorted_rows(b, cols) == _sorted_rows(s, cols)
+
+    def test_right_reduce_in_both_tiers(self, asof_sides):
+        left, right = asof_sides
+
+        def dedup(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(["uid", "odate"], as_index=False).agg(
+                price=("price", "max")
+            )
+
+        kw = dict(by="uid", on="ts", right_on="odate", right_reduce=dedup)
+        b = asof_join(left, right, strategy="broadcast", **kw)
+        s = asof_join(left, right, strategy="shuffle", num_partitions=8, **kw)
+        cols = ["uid", "ts", "etype", "price"]
+        rows_b = _sorted_rows(b, cols)
+        assert rows_b == _sorted_rows(s, cols)
+        # reduce really deduplicates: ties on (uid, odate) resolve to max
+        assert len(rows_b) == 300
