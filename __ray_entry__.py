@@ -138,6 +138,22 @@ def _ann_lsh_topk(sf_dir: str):
     )
 
 
+def _ann_ivf_topk(sf_dir: str):
+    """Approximate NN via an IVF coarse quantizer (train on a bounded
+    sample, broadcast centroids, one matmul assignment per batch, probe
+    nprobe lists) — the second ANN scale path."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq, _query_vec
+    from docprocai_service_ray.stages.similarity import ivf_topk
+
+    q = _query_vec(sf_dir)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    top = ivf_topk(ds, q, 10, dim=64, n_lists=32, nprobe=8, seed=_CFG.seed,
+                   extra_cols=("label",))
+    return top.map_batches(
+        lambda df: df[["vec_id", "label"]], batch_format="pandas"
+    )
+
+
 def _lang_id_docs(sf_dir: str):
     from docprocai_service_ray.pipelines.benchqueries import _pq
     from docprocai_service_ray.stages.textstats import lang_id
@@ -402,6 +418,7 @@ _GOLDEN_QUERIES = [
     # freeze pins their deterministic output instead
     "embedding_near_dup",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 
@@ -427,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "near_dup_pages_simhash": _near_dup_pages_simhash,
             "embedding_near_dup": _embedding_near_dup,
             "ann_lsh_topk": _ann_lsh_topk,
+            "ann_ivf_topk": _ann_ivf_topk,
             "lang_id_docs": _lang_id_docs,
             "quality_by_source": _quality_by_source,
             "kg_mentions": _kg_mentions,

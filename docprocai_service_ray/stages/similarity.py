@@ -11,6 +11,12 @@
   force in tests, not assumed.
 - ``embedding_near_dup_pairs``: within-bucket cosine ≥ τ pairs (the
   embedding near-dup deduplication op).
+- ``train_ivf_centroids`` / ``ivf_assign`` / ``ivf_topk``: IVF coarse
+  quantizer — seeded mini
+  k-means trained ONCE on a bounded sample (driver-side, size-gated),
+  centroids broadcast, every vector assigned to its nearest list by one
+  matmul per batch; a query scores only the ``nprobe`` nearest lists.
+  The classic train-small/assign-distributed ANN scale path next to LSH.
 """
 
 from __future__ import annotations
@@ -179,3 +185,82 @@ def embedding_near_dup_pairs(ds, *, dim: int, threshold: float = 0.95,
         return pd.concat(frames, ignore_index=True)
 
     return partition_reduce(bucketed, ["bucket"], pairs_partition)
+
+
+def _kmeans(sample: np.ndarray, n_lists: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Seeded mini k-means on L2-normalized vectors (cosine ≡ dot). Fixed
+    iteration count + deterministic init → identical centroids every run."""
+    rng = np.random.RandomState(seed)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(float(np.linalg.norm(m)), 1e-12)
+    return cent
+
+
+def train_ivf_centroids(ds, *, dim: int, n_lists: int = 64, sample_rows: int = 20_000,
+                        seed: int = 42, emb_col: str = "embedding") -> np.ndarray:
+    """Train the coarse quantizer on a BOUNDED sample (first sample_rows
+    via ``ds.limit`` — deterministic, no full scan): the train-small step
+    of IVF. At 100 TB the sample is still ``sample_rows`` vectors."""
+    sample_tbl = pa.concat_tables(
+        ray.get(ds.limit(sample_rows).to_arrow_refs()), promote_options="default"
+    )
+    mat = _as_matrix(sample_tbl[emb_col])
+    return _kmeans(mat, n_lists, seed)
+
+
+def ivf_assign(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
+               emb_col: str = "embedding", extra_cols: tuple = ()):
+    """Append ``ivf_list`` = argmax cosine vs broadcast centroids — one
+    matmul per batch, centroids ``ray.put`` once."""
+    cent_ref = ray.put(np.ascontiguousarray(centroids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat = _as_matrix(batch[emb_col])
+        if mat.shape[0]:
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            lists = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
+        else:
+            lists = np.array([], dtype=np.int64)
+        cols = {id_col: batch[id_col], emb_col: batch[emb_col]}
+        for c in extra_cols:
+            cols[c] = batch[c]
+        cols["ivf_list"] = pa.array(lists, pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ivf_topk(ds, query: np.ndarray, k: int, *, dim: int, n_lists: int = 64,
+             nprobe: int = 8, sample_rows: int = 20_000, seed: int = 42,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             extra_cols: tuple = ()):
+    """Approximate top-k via IVF: score only vectors whose list is among
+    the query's ``nprobe`` nearest centroids. Recall is measured against
+    brute force in tests, never assumed."""
+    import pyarrow.compute as pc
+
+    cent = train_ivf_centroids(
+        ds, dim=dim, n_lists=n_lists, sample_rows=sample_rows, seed=seed,
+        emb_col=emb_col,
+    )
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe = np.argsort(-(cent @ qn))[: min(nprobe, len(cent))]
+    assigned = ivf_assign(ds, cent, id_col=id_col, emb_col=emb_col,
+                          extra_cols=extra_cols)
+    cand = assigned.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["ivf_list"], pa.array(sorted(int(p) for p in probe), pa.int64()))
+        ),
+        batch_format="pyarrow",
+    ).drop_columns(["ivf_list"])
+    return brute_force_topk(cand, q, k, id_col=id_col, emb_col=emb_col,
+                            extra_cols=extra_cols)

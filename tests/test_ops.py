@@ -258,3 +258,38 @@ class TestMinhashVerifyJoinPath:
         }
         assert joined == broadcast
         assert broadcast  # non-empty: the near-dup family must surface
+
+
+class TestIVF:
+    def test_ivf_topk_recall_and_determinism(self, emb_ds):
+        import numpy as np
+        import ray.data as rd
+
+        from docprocai_service_ray.stages.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        ds, mat = emb_ds
+        q = mat[5].astype(np.float64)
+        exact = [r["vec_id"] for r in brute_force_topk(ds, q, 5).take_all()]
+        approx = ivf_topk(ds, q, 5, dim=16, n_lists=8, nprobe=4, seed=7).take_all()
+        approx_ids = [r["vec_id"] for r in approx]
+        # recall vs brute force (measured, not assumed); generous bound —
+        # the corpus is random so lists are balanced
+        assert len(set(exact) & set(approx_ids)) >= 3
+        # determinism: same seed → same centroids → same result
+        approx2 = [r["vec_id"] for r in
+                   ivf_topk(ds, q, 5, dim=16, n_lists=8, nprobe=4, seed=7).take_all()]
+        assert approx_ids == approx2
+
+    def test_full_probe_equals_brute_force(self, emb_ds):
+        from docprocai_service_ray.stages.similarity import brute_force_topk, ivf_topk
+
+        ds, mat = emb_ds
+        q = mat[5]
+        exact = [r["vec_id"] for r in brute_force_topk(ds, q, 5).take_all()]
+        allprobe = [r["vec_id"] for r in
+                    ivf_topk(ds, q, 5, dim=16, n_lists=8, nprobe=8, seed=7).take_all()]
+        assert exact == allprobe  # nprobe = n_lists probes everything
