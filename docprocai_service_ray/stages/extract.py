@@ -15,14 +15,14 @@ Semantics (aligned with oracle/scalar.oracle_docs — same order of steps):
 Scale notes (SURVEY.md §7.4):
 - the ``html`` binary column is dropped INSIDE the extraction batch fn —
   nothing downstream ever shuffles raw HTML;
-- url-dedup does NOT shuffle or pin document text: only the 3-column
-  (url, warc_ts, content_hash) projection is materialized (40 B/row — a
-  100 TB corpus projects to tens of GB, object-store-sized); the winners
-  map is broadcast via ``ray.put`` and losers are filtered out in place.
-  In streaming mode the extraction therefore runs once for the winners
-  pass and once for the filter pass — compute is traded for not pinning
-  the full extracted corpus (the checkpointed path in pipelines/kg.py
-  avoids the re-run by writing extraction to Parquet first).
+- url-dedup does NOT shuffle or pin document text: only a tiny metadata
+  projection is materialized (streaming mode: the 2-column (url, warc_ts)
+  projection — winners are decided BEFORE extraction, so HTML parses once
+  and only for winner rows; checkpointed mode: the 3-column projection
+  re-read from the docs_raw Parquet). The winners map is broadcast via
+  ``ray.put`` and losers are filtered out in place. ``content_hash`` only
+  breaks exact max-warc_ts ties — a vocab-sized post-extraction pass over
+  just the tied urls.
 """
 
 from __future__ import annotations
@@ -170,6 +170,100 @@ def dedup_urls(docs_ds, cfg: KGConfig):
     return base.union(tied_once)
 
 
+def dedup_urls_meta(pages_ds, cfg: KGConfig):
+    """Metadata-first url-dedup (streaming mode): the winner per url is the
+    max ``warc_ts`` capture — decidable from the 2-column (url, warc_ts)
+    projection BEFORE any HTML is parsed. ``content_hash`` only breaks
+    exact max-ts ties, so extraction runs ONCE, over winner rows only, plus
+    a vocab-sized hash tiebreak over the (vanishingly rare) tied captures.
+    Semantics are identical to ``dedup_urls`` over extracted docs (both
+    mirror oracle/scalar.oracle_docs): per url max (warc_ts, content_hash),
+    one copy of byte-identical full ties, empty-text drop AFTER dedup.
+
+    vs the old streaming flow (extract → project → winners → filter, i.e.
+    extraction twice over every capture): here the winners pass is a
+    metadata read and losers are never parsed at all."""
+    import pandas as pd
+
+    from ..state.groupby import partition_reduce
+
+    pages_ds = filter_langs(pages_ds, cfg)  # dedup must see post-filter rows
+    proj = pages_ds.select_columns(["url", "warc_ts"]).materialize()
+
+    def winners(part: pd.DataFrame) -> pd.DataFrame:
+        """Per duplicated url: max warc_ts + how many captures tie at it."""
+        dups = part[part.duplicated("url", keep=False)]
+        if dups.empty:
+            return pd.DataFrame(
+                {"url": pd.Series(dtype=part["url"].dtype),
+                 "warc_ts": pd.Series(dtype=part["warc_ts"].dtype),
+                 "n_at_max": pd.Series(dtype="int64")}
+            )
+        mx = dups.groupby("url", as_index=False)["warc_ts"].max()
+        at_max = (
+            dups.merge(mx, on=["url", "warc_ts"])
+            .groupby("url", as_index=False)
+            .size()
+            .rename(columns={"size": "n_at_max"})
+        )
+        return mx.merge(at_max, on="url")
+
+    n_rows = proj.count()  # metadata-only: proj is materialized
+    if n_rows <= cfg.driver_dedup_max:
+        win_rows = winners(proj.to_pandas()).to_dict("records")
+    else:
+        win_rows = partition_reduce(proj, ["url"], winners, num_partitions=64).take_all()
+    win_map = {r["url"]: r["warc_ts"] for r in win_rows}
+    tie_urls = sorted(r["url"] for r in win_rows if r["n_at_max"] > 1)
+    if not win_map:
+        return extract_docs(pages_ds, cfg)
+    ref = ray.put(win_map)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        wm = ray.get(ref)
+        mask = [
+            (u not in wm) or (ts == wm[u])
+            for u, ts in zip(batch["url"].to_pylist(), batch["warc_ts"].to_pylist())
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    docs = extract_docs(pages_ds.map_batches(keep, batch_format="pyarrow"), cfg)
+    if not tie_urls:
+        return docs
+
+    # hash tiebreak over ONLY the tied urls: max content_hash wins; sorting
+    # + keep-first also collapses byte-identical full ties to one copy
+    import pyarrow.compute as pc
+
+    from ..state.groupby import partition_reduce as _pr
+
+    tie_ref = ray.put(set(tie_urls))
+
+    def _not_tied(t: pa.Table) -> pa.Table:
+        ties = pa.array(sorted(ray.get(tie_ref)))
+        return t.filter(pc.invert(pc.is_in(t["url"], ties)))
+
+    def _tied(t: pa.Table) -> pa.Table:
+        ties = pa.array(sorted(ray.get(tie_ref)))
+        return t.filter(pc.is_in(t["url"], ties))
+
+    def _best_hash(part: pd.DataFrame) -> pd.DataFrame:
+        return part.sort_values(
+            ["url", "content_hash"], ascending=[True, False]
+        ).drop_duplicates("url", keep="first")
+
+    base = docs.map_batches(_not_tied, batch_format="pyarrow")
+    tied_best = _pr(
+        docs.map_batches(_tied, batch_format="pyarrow"), ["url"], _best_hash,
+        num_partitions=4,
+    ).map_batches(
+        # pandas round-trip loses binary(16)/timestamp[us] — restore DOCS_SCHEMA
+        lambda df: pa.Table.from_pandas(df, schema=DOCS_SCHEMA, preserve_index=False),
+        batch_format="pandas",
+    )
+    return base.union(tied_best)
+
+
 def extract_docs(pages_ds, cfg: KGConfig):
     """web_pages Dataset → raw extracted docs (not yet url-deduped; includes
     empty-text rows — see module docstring step ordering)."""
@@ -198,8 +292,9 @@ def filter_langs(ds, cfg: KGConfig):
 
 def build_docs(pages_ds, cfg: KGConfig):
     """web_pages Dataset → docs Dataset (extracted, url-deduped, empty rows
-    dropped). Only the 3-column dedup projection is ever materialized; in
-    exchange the extraction runs once for the winners pass and once for the
-    filter pass (the checkpointed pipeline in pipelines/kg.py writes the
-    extraction to Parquet instead and re-reads, paying neither)."""
-    return drop_empty(dedup_urls(extract_docs(pages_ds, cfg), cfg))
+    dropped). Streaming path: metadata-first dedup (``dedup_urls_meta``) —
+    winners come from the 2-column (url, warc_ts) projection, so HTML is
+    parsed exactly ONCE, and only for winner rows. (The checkpointed
+    pipeline in pipelines/kg.py instead writes extraction to Parquet and
+    runs ``dedup_urls`` over the stored docs.)"""
+    return drop_empty(dedup_urls_meta(pages_ds, cfg))
