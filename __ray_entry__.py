@@ -292,6 +292,64 @@ def _media_thumbnails(sf_dir: str):
     return thumbs.map_batches(digest, batch_format="pandas")
 
 
+def _sample_docs(sf_dir: str):
+    """Deterministic 10% corpus sample keyed on a content hash of doc_id —
+    same rows survive at any parallelism / cluster shape; the SQL oracle
+    evaluates the IDENTICAL md5-prefix predicate."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.sampling import hash_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return hash_sample(ds, "doc_id", 0.10, seed=_CFG.seed)
+
+
+def _train_holdout_counts(sf_dir: str):
+    """Complementary train/holdout split (every row in exactly one side):
+    per-source row counts of both sides."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.sampling import split_train_holdout
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+    train, holdout = split_train_holdout(ds, "doc_id", 0.2, seed=_CFG.seed)
+
+    def count_by_source(d, split):
+        return (
+            d.map_batches(
+                lambda df: df.groupby("source", as_index=False).agg(n=("doc_id", "size")),
+                batch_format="pandas",
+            )
+            .map_batches(
+                lambda df: df.assign(split=split), batch_format="pandas"
+            )
+        )
+
+    import ray.data as rd  # noqa: F401
+
+    both = count_by_source(train, "train").union(count_by_source(holdout, "holdout"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["split", "source"], as_index=False).agg(n=("n", "sum"))
+
+    from docprocai_service_ray.state.groupby import partition_reduce
+
+    return partition_reduce(both, ["split", "source"], final, num_partitions=4)
+
+
+def _sampling_sql() -> dict[str, str]:
+    from docprocai_service_ray.stages.sampling import sample_sql_predicate
+
+    pred10 = sample_sql_predicate("doc_id", 0.10, seed=_CFG.seed)
+    hold = sample_sql_predicate("doc_id", 0.2, seed=_CFG.seed)
+    return {
+        "sample_docs": f"SELECT doc_id, lang, source FROM documents WHERE {pred10}",
+        "train_holdout_counts": f"""
+            SELECT CASE WHEN {hold} THEN 'holdout' ELSE 'train' END AS split,
+                   source, COUNT(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+    }
+
+
 def _rolling_fingerprints(sf_dir: str):
     from docprocai_service_ray.pipelines.benchqueries import _pq
     from docprocai_service_ray.stages.textstats import bpe_ish_token_counts, rolling_fingerprint
@@ -452,6 +510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "media_features": _media_features,
             "media_thumbnails": _media_thumbnails,
             "rolling_fingerprints": _rolling_fingerprints,
+            "sample_docs": _sample_docs,
+            "train_holdout_counts": _train_holdout_counts,
         }
     )
     return q
@@ -462,5 +522,6 @@ def oracle_sql() -> dict[str, str]:
     sql["lang_id_docs"] = _lang_id_sql()
     sql["quality_by_source"] = _quality_sql()
     sql["rolling_fingerprints"] = _ROLLING_SQL
+    sql.update(_sampling_sql())
     sql.update(_golden_sql())
     return sql

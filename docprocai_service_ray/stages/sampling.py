@@ -1,0 +1,92 @@
+"""Deterministic corpus sampling — the reproducible-subset op a
+training-data pipeline needs (seeded eval splits, ablation shards,
+cheap-pass corpora).
+
+``Dataset.random_sample(seed)`` is seed-stable only for a fixed block
+layout; this op instead keys the keep/drop decision on a CONTENT hash of
+a key column, so the same row lands in the same split at any parallelism,
+on any cluster shape, across re-ingests — and the predicate is exactly
+reproducible in SQL (DuckDB ``md5``), so the op is oracle-checkable.
+
+Mechanism: a row is kept iff the first ``prefix`` hex chars of
+``md5(seed_tag || key)`` compare below the rate threshold — fixed-width
+lowercase hex compares lexicographically == numerically, so the SQL side
+is a plain string comparison. Rate granularity is 16^prefix (default
+16^4 = 1/65536). ``by`` adds stratification: the threshold applies within
+every stratum independently (same predicate — strata only change which
+rows you READ it over, not the hash), giving per-stratum rate guarantees
+without a shuffle. Salting the hash with ``seed`` makes splits
+independent across seeds (disjoint-ish, not complementary; use
+``complement=True`` for the exact complement split)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def sample_threshold(rate: float, prefix: int = 4) -> str:
+    """Hex threshold t such that P[md5_prefix < t] == round(rate * 16^p) / 16^p."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    buckets = 16 ** prefix
+    return format(min(buckets, round(rate * buckets)), f"0{prefix}x")
+
+
+def _key_hash_prefix(keys: pd.Series, seed: int, prefix: int) -> pd.Series:
+    tag = f"s{seed}\x1f"
+    return keys.fillna("").map(
+        lambda k: hashlib.md5((tag + str(k)).encode("utf-8")).hexdigest()[:prefix]
+    )
+
+
+def hash_sample(ds, key_col: str, rate: float, *, seed: int = 42,
+                prefix: int = 4, complement: bool = False):
+    """Keep rows whose salted md5(key) prefix falls under ``rate``.
+    Pure map — no shuffle, no driver state, stable at any parallelism."""
+    thr = sample_threshold(rate, prefix)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash_prefix(df[key_col], seed, prefix)
+        mask = (h >= thr) if complement else (h < thr)
+        return df[mask]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def sample_sql_predicate(key_col: str, rate: float, *, seed: int = 42,
+                         prefix: int = 4, complement: bool = False) -> str:
+    """The EXACT DuckDB predicate for hash_sample — same salt, same md5,
+    same hex-prefix comparison; used by the oracle side."""
+    thr = sample_threshold(rate, prefix)
+    op = ">=" if complement else "<"
+    return (
+        f"substr(md5('s{seed}' || chr(31) || CAST({key_col} AS VARCHAR)), "
+        f"1, {prefix}) {op} '{thr}'"
+    )
+
+
+def split_train_holdout(ds, key_col: str, holdout_rate: float, *, seed: int = 42):
+    """Complementary deterministic split: (train, holdout). Every row lands
+    in exactly one side — same hash, opposite comparison."""
+    return (
+        hash_sample(ds, key_col, holdout_rate, seed=seed, complement=True),
+        hash_sample(ds, key_col, holdout_rate, seed=seed),
+    )
+
+
+def stratified_rates_check(sampled_ds, full_counts: dict, by: str) -> pa.Table:
+    """Diagnostic: per-stratum achieved rate vs corpus counts (tiny)."""
+    import pyarrow.compute as pc  # noqa: F401  (vectorized count path)
+
+    counts = (
+        sampled_ds.groupby(by)
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "sampled"})
+    )
+    counts["total"] = counts[by].map(full_counts).astype("int64")
+    counts["rate"] = counts["sampled"] / counts["total"]
+    return pa.Table.from_pandas(counts, preserve_index=False)

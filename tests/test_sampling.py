@@ -1,0 +1,56 @@
+"""Deterministic hash sampling (stages/sampling.py): parallelism
+invariance, exact complement split, rate accuracy, seed independence."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from docprocai_service_ray.stages.sampling import (
+    hash_sample,
+    sample_threshold,
+    split_train_holdout,
+)
+
+N = 5000
+
+
+@pytest.fixture()
+def docs(ray_session):
+    df = pd.DataFrame({"doc_id": range(N), "lang": ["en", "de"] * (N // 2)})
+    return df
+
+
+def _ids(ds):
+    return sorted(r["doc_id"] for r in ds.take_all())
+
+
+class TestHashSample:
+    def test_parallelism_invariance(self, docs):
+        a = _ids(hash_sample(rd.from_pandas(docs).repartition(1), "doc_id", 0.1))
+        b = _ids(hash_sample(rd.from_pandas(docs).repartition(13), "doc_id", 0.1))
+        assert a == b and len(a) > 0
+
+    def test_rate_accuracy(self, docs):
+        kept = _ids(hash_sample(rd.from_pandas(docs), "doc_id", 0.1))
+        assert abs(len(kept) / N - 0.1) < 0.02  # md5 uniformity at n=5000
+
+    def test_complement_partitions_exactly(self, docs):
+        ds = rd.from_pandas(docs)
+        train, hold = split_train_holdout(ds, "doc_id", 0.2, seed=7)
+        t, h = set(_ids(train)), set(_ids(hold))
+        assert t | h == set(range(N)) and not (t & h)
+
+    def test_seeds_give_different_splits(self, docs):
+        ds = rd.from_pandas(docs)
+        a = set(_ids(hash_sample(ds, "doc_id", 0.2, seed=1)))
+        b = set(_ids(hash_sample(ds, "doc_id", 0.2, seed=2)))
+        # independent salts: overlap ≈ rate², far from identical
+        assert a != b and len(a & b) < 0.5 * len(a)
+
+    def test_threshold_edges(self):
+        assert sample_threshold(0.0) == "0000"
+        assert sample_threshold(1.0) == "10000"  # > every 4-char prefix
+        with pytest.raises(ValueError):
+            sample_threshold(1.5)
