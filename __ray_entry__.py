@@ -335,6 +335,16 @@ def _train_holdout_counts(sf_dir: str):
     return partition_reduce(both, ["split", "source"], final, num_partitions=4)
 
 
+def _value_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (p25/p50/p90) — grouped
+    quantile aggregate, bit-matching DuckDB quantile_cont."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.quantiles import grouped_quantiles
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles(ds, "event_type", "value", [0.25, 0.5, 0.9])
+
+
 def _sampling_sql() -> dict[str, str]:
     from docprocai_service_ray.stages.sampling import sample_sql_predicate
 
@@ -512,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "rolling_fingerprints": _rolling_fingerprints,
             "sample_docs": _sample_docs,
             "train_holdout_counts": _train_holdout_counts,
+            "value_quantiles": _value_quantiles,
         }
     )
     return q
@@ -523,5 +534,8 @@ def oracle_sql() -> dict[str, str]:
     sql["quality_by_source"] = _quality_sql()
     sql["rolling_fingerprints"] = _ROLLING_SQL
     sql.update(_sampling_sql())
+    from docprocai_service_ray.stages.quantiles import quantile_sql
+
+    sql["value_quantiles"] = quantile_sql("events", "event_type", "value", [0.25, 0.5, 0.9])
     sql.update(_golden_sql())
     return sql

@@ -54,3 +54,27 @@ class TestHashSample:
         assert sample_threshold(1.0) == "10000"  # > every 4-char prefix
         with pytest.raises(ValueError):
             sample_threshold(1.5)
+
+
+class TestGroupedQuantiles:
+    def test_matches_numpy_and_composes_with_sampling(self, ray_session):
+        import numpy as np
+
+        from docprocai_service_ray.stages.quantiles import grouped_quantiles
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame({"g": ["a"] * 400 + ["b"] * 100,
+                           "v": rng.randn(500).round(4)})
+        out = grouped_quantiles(rd.from_pandas(df).repartition(7), "g", "v",
+                                [0.5, 0.9]).to_pandas().set_index("g")
+        for g in ["a", "b"]:
+            vals = df[df["g"] == g]["v"].to_numpy()
+            assert out.loc[g, "q_50"] == round(float(np.quantile(vals, 0.5)), 6)
+            assert out.loc[g, "q_90"] == round(float(np.quantile(vals, 0.9)), 6)
+            assert out.loc[g, "n"] == len(vals)
+
+        # sampled-quantile composition stays deterministic
+        s = hash_sample(rd.from_pandas(df.assign(doc_id=range(500))), "doc_id", 0.5)
+        q1 = grouped_quantiles(s, "g", "v", [0.5]).to_pandas().sort_values("g")
+        q2 = grouped_quantiles(s, "g", "v", [0.5]).to_pandas().sort_values("g")
+        assert q1.equals(q2)
