@@ -57,6 +57,88 @@ def _page_files(pages_path: str) -> list[str]:
     return [pages_path]
 
 
+def reprocess_urls(
+    pages_path: str,
+    urls: list[str],
+    alias_table: pa.Table,
+    cfg: KGConfig = DEFAULT_CONFIG,
+    out_dir: str = "",
+) -> dict:
+    """Per-record re-ingest over a checkpointed ``run_kg`` output — the
+    delete-cascade → reprocess flow of the reference (one record is
+    deleted then re-derived end-to-end, service/DocProcAiService.py:102-103
+    + the persistence cascade): for each per-record stage output (docs,
+    sentences, triples_raw, and mentions / sentence_embeddings when
+    present) the given urls' rows are DELETED and recomputed from source
+    — extraction runs over only those pages — then the stage directory is
+    atomically replaced (idempotent upsert, W6). The corpus-level stages
+    (entity_map, triples) are re-derived from the patched triples_raw,
+    because canonical ids are corpus-global (union-find) — that cascade is
+    aggregate-priced, never a re-extraction of the corpus. ``docs_raw``
+    (the pre-dedup ingest checkpoint) is intentionally left stale: once
+    ``docs`` is DONE it is never re-read.
+
+    Returns the refreshed stage Datasets (same keys as ``run_kg``)."""
+    import pyarrow.compute as pc
+
+    from ..stages.triple_extract import build_triples_raw as _btr
+    from ..state.manifest import is_stage_done, stage_output_dir
+
+    url_arr = pa.array(sorted(set(urls)), pa.string())
+    url_ref = ray.put(url_arr)
+
+    def _drop_urls(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t["url"], ray.get(url_ref))))
+
+    # recompute the urls' rows from source (url-dedup is per url, so the
+    # filtered slice is self-contained)
+    pages = read_web_pages(pages_path).map_batches(
+        lambda t: t.filter(pc.is_in(t["url"], ray.get(url_ref))),
+        batch_format="pyarrow",
+    )
+    # per-record recomputes are bounded by len(urls) — materialize them up
+    # front so each stage's actor pool spins up and RETIRES before the
+    # patch writes run (several live pools can exhaust a small cluster's
+    # CPUs and deadlock the streaming executor), and so re-use below never
+    # re-executes extraction
+    docs_new = build_docs(pages, cfg).materialize()
+    sentences_new = build_sentences(docs_new, cfg).materialize()
+    triples_raw_new = _btr(sentences_new, cfg).materialize()
+
+    def _patch(stage: str, new_ds):
+        old = rd.read_parquet(stage_output_dir(out_dir, stage))
+        patched = old.map_batches(_drop_urls, batch_format="pyarrow").union(new_ds)
+        write_stage(patched, out_dir, stage, extra={"reprocessed_urls": len(urls)})
+        return rd.read_parquet(stage_output_dir(out_dir, stage))
+
+    out: dict = {}
+    out["docs"] = _patch("docs", docs_new)
+    out["sentences"] = _patch("sentences", sentences_new)
+    out["triples_raw"] = _patch("triples_raw", triples_raw_new)
+    if is_stage_done(out_dir, "sentence_embeddings"):
+        from .queries import build_sentence_embeddings
+
+        out["sentence_embeddings"] = _patch(
+            "sentence_embeddings", build_sentence_embeddings(sentences_new, cfg)
+        )
+    alias_ref = ray.put(alias_table)
+    if is_stage_done(out_dir, "mentions"):
+        out["mentions"] = _patch("mentions", build_mentions(triples_raw_new, alias_ref, cfg))
+
+    # corpus-level cascade: canonical ids + aggregates from patched raw
+    entity_map = build_entity_map(out["triples_raw"], alias_ref, cfg)
+    write_stage(entity_map, out_dir, "entity_map", extra={"reprocessed_urls": len(urls)})
+    entity_map = rd.read_parquet(stage_output_dir(out_dir, "entity_map"))
+    out["entity_map"] = entity_map
+    emap_ref = ray.put(entity_map_to_dict(entity_map))
+    triples = build_triples(out["triples_raw"], emap_ref, cfg)
+    write_stage(triples, out_dir, "triples",
+                extra={"partitioned_by": "bucket", "reprocessed_urls": len(urls)},
+                write_kwargs={"partition_cols": ["bucket"]})
+    out["triples"] = rd.read_parquet(stage_output_dir(out_dir, "triples"))
+    return out
+
+
 def run_kg(
     pages_path: str,
     alias_table: pa.Table,
