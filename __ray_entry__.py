@@ -345,6 +345,27 @@ def _value_quantiles(sf_dir: str):
     return grouped_quantiles(ds, "event_type", "value", [0.25, 0.5, 0.9])
 
 
+def _token_doc_frequency(sf_dir: str):
+    """Inverted-index df stats over the documents table (tokens appearing
+    in >= 5 docs)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.textstats import token_doc_frequency
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return token_doc_frequency(ds, "doc_id", "text", min_df=5)
+
+
+_TOKEN_DF_SQL = """
+    WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(DISTINCT doc_id) AS df
+    FROM t GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 5
+"""
+
+
 def _sampling_sql() -> dict[str, str]:
     from docprocai_service_ray.stages.sampling import sample_sql_predicate
 
@@ -523,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sample_docs": _sample_docs,
             "train_holdout_counts": _train_holdout_counts,
             "value_quantiles": _value_quantiles,
+            "token_doc_frequency": _token_doc_frequency,
         }
     )
     return q
@@ -537,5 +559,6 @@ def oracle_sql() -> dict[str, str]:
     from docprocai_service_ray.stages.quantiles import quantile_sql
 
     sql["value_quantiles"] = quantile_sql("events", "event_type", "value", [0.25, 0.5, 0.9])
+    sql["token_doc_frequency"] = _TOKEN_DF_SQL
     sql.update(_golden_sql())
     return sql

@@ -119,3 +119,34 @@ def add_text_stats(ds, text_col: str = "text"):
         return batch
 
     return ds.map_batches(_fn, batch_format="pandas")
+
+
+def token_doc_frequency(ds, id_col: str, text_col: str, *, min_df: int = 1,
+                        num_partitions: int = 16):
+    """Inverted-index statistics: document frequency per token (the
+    vocabulary/df side of a postings build — the full postings list is the
+    same plan with a collect instead of a count).
+
+    Per batch: vectorized pandas ``str.findall`` → explode → within-doc
+    dedup (a doc is ONE row, so its tokens stay in one batch) → per-batch
+    partial counts; one hash exchange merges partials per token
+    (state/groupby.partition_reduce). Tokenization is ``[a-z]+`` over
+    ``lower()`` — byte-identical to the DuckDB oracle's
+    ``regexp_extract_all(lower(text), '[a-z]+')``."""
+    from ..state.groupby import partition_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.lower().str.findall(r"[a-z]+")
+        e = df[[id_col]].assign(token=toks).explode("token").dropna(subset=["token"])
+        e = e.drop_duplicates([id_col, "token"])
+        return e.groupby("token", as_index=False).agg(df_part=(id_col, "size"))
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("token", as_index=False).agg(df=("df_part", "sum"))
+        g["df"] = g["df"].astype("int64")
+        return g[g["df"] >= min_df]
+
+    return partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["token"], final, num_partitions=num_partitions,
+    )
