@@ -8,9 +8,11 @@ here (or in the library) calls ray.init()/ray.shutdown().
   returns the canonical triples Dataset.
 - ``queries()``: one entry per implemented operator family (SURVEY.md §2 +
   training-data ops); each takes sf_dir.
-- ``oracle_sql()``: DuckDB equivalents for the SQL-expressible queries
-  (identical column names). KG / LSH / ANN queries are non-SQL-expressible
-  → rows-only checks.
+- ``oracle_sql()``: an entry for EVERY query. SQL-expressible ops get
+  real DuckDB SQL (identical column names); deterministic non-SQL ops
+  (KG / LSH / ANN / media) are served as golden-parquet reads frozen at
+  sf0.01 by scripts/make_goldens.py — the KG tables are certified against
+  the independent scalar oracle before freezing.
 """
 
 from __future__ import annotations
@@ -61,7 +63,7 @@ def entry() -> Any:
     return res["triples"].select_columns(["subject_id", "pred", "object_id", "weight"])
 
 
-# ------------------------- KG queries (rows-only; non-SQL-expressible) ------
+# -------------- KG queries (golden-parquet oracles; oracle-certified) -------
 
 def _kg_docs(sf_dir: str):
     return _kg_run(sf_dir)["docs"].select_columns(["url", "lang", "n_chars"])
