@@ -208,9 +208,9 @@ def train_ivf_centroids(ds, *, dim: int, n_lists: int = 64, sample_rows: int = 2
     """Train the coarse quantizer on a BOUNDED sample (first sample_rows
     via ``ds.limit`` — deterministic, no full scan): the train-small step
     of IVF. At 100 TB the sample is still ``sample_rows`` vectors."""
-    sample_tbl = pa.concat_tables(
-        ray.get(ds.limit(sample_rows).to_arrow_refs()), promote_options="default"
-    )
+    from ..state.joins import _collect_arrow
+
+    sample_tbl = _collect_arrow(ds.limit(sample_rows))
     mat = _as_matrix(sample_tbl[emb_col])
     return _kmeans(mat, n_lists, seed)
 

@@ -116,6 +116,13 @@ def _collect_arrow(ds) -> pa.Table:
     """Materialize a (small, size-gated) Dataset as one Arrow table on the
     driver — only ever called under ``_BROADCAST_MAX_BYTES``."""
     tables = ray.get(ds.to_arrow_refs())
+    # to_arrow_refs hands back raw block refs; blocks that materialized as
+    # pandas (block format after groupby/sort is execution-dependent) arrive
+    # as DataFrames and must be converted before concat.
+    tables = [
+        t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
+        for t in tables
+    ]
     if not tables:
         return pa.Table.from_pylist([], schema=ds.schema().base_schema)
     return pa.concat_tables(tables, promote_options="default").combine_chunks()

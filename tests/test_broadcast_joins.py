@@ -67,6 +67,20 @@ class TestBroadcastHashJoin:
         out = hash_join(left, right, on="k", strategy="broadcast").to_pandas()
         assert sorted(out["k"]) == [1, 2, 3]
 
+    def test_pandas_block_small_side(self, ray_session):
+        # Regression: a small side whose blocks materialized as pandas
+        # (e.g. downstream of map_groups) used to crash _collect_arrow with
+        # "Cannot convert DataFrame to pyarrow.lib.Table".
+        left = rd.from_pandas(
+            pd.DataFrame({"k": np.arange(20) % 5, "v": np.arange(20)})
+        )
+        right = rd.from_pandas(
+            pd.DataFrame({"k": np.arange(5), "w": np.arange(5) * 7})
+        ).map_batches(lambda df: df, batch_format="pandas")  # force pandas blocks
+        out = hash_join(left, right, on="k", strategy="broadcast").to_pandas()
+        assert len(out) == 20
+        assert (out["w"] == out["k"] * 7).all()
+
 
 class TestBroadcastAsof:
     @pytest.fixture()
