@@ -383,6 +383,100 @@ def _sampling_sql() -> dict[str, str]:
     }
 
 
+# ------------------------- graph analytics over the materialized KG --------
+
+def _entity_degree(sf_dir: str):
+    """In/out/total triple counts per entity; SQL-oracled against the
+    certified golden kg_triples table (a genuine cross-check: Ray computes
+    from the LIVE pipeline, DuckDB aggregates the frozen certified copy)."""
+    from docprocai_service_ray.stages.graph import entity_degree
+
+    return entity_degree(_kg_run(sf_dir)["triples"])
+
+
+def _pagerank_entities(sf_dir: str):
+    from docprocai_service_ray.stages.graph import pagerank
+
+    return pagerank(_kg_run(sf_dir)["triples"], iters=20)
+
+
+def _khop_seed(triples) -> str:
+    """Lexicographic-min subject — per-batch Arrow min partials, driver
+    min over ≤ n_blocks scalars (the SQL oracle computes the same seed)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = triples.map_batches(
+        lambda t: pa.table(
+            {"m": pa.array([pc.min(t["subject_id"]).as_py()], pa.string())}
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    return min(r["m"] for r in parts if r["m"] is not None)
+
+
+def _graph_components(sf_dir: str):
+    from docprocai_service_ray.stages.graph import connected_components
+
+    return connected_components(_kg_run(sf_dir)["triples"], _CFG)
+
+
+def _khop_neighborhood(sf_dir: str):
+    from docprocai_service_ray.stages.graph import khop_neighborhood
+
+    triples = _kg_run(sf_dir)["triples"]
+    return khop_neighborhood(triples, _khop_seed(triples), k=2)
+
+
+def _graph_sql() -> dict[str, str]:
+    t = os.path.join(_GOLDEN_DIR, "kg_triples.parquet")
+    return {
+        "entity_degree": f"""
+            WITH t AS (SELECT subject_id, object_id FROM read_parquet('{t}')),
+            o AS (SELECT subject_id AS entity, COUNT(*) AS c FROM t GROUP BY 1),
+            i AS (SELECT object_id AS entity, COUNT(*) AS c FROM t GROUP BY 1)
+            SELECT COALESCE(o.entity, i.entity) AS entity,
+                   COALESCE(o.c, 0) AS out_deg,
+                   COALESCE(i.c, 0) AS in_deg,
+                   COALESCE(o.c, 0) + COALESCE(i.c, 0) AS degree
+            FROM o FULL OUTER JOIN i ON o.entity = i.entity
+        """,
+        "graph_components": f"""
+            WITH RECURSIVE
+            t AS (SELECT subject_id, object_id FROM read_parquet('{t}')),
+            e AS (SELECT DISTINCT subject_id AS s, object_id AS o FROM t
+                  UNION SELECT DISTINCT object_id, subject_id FROM t),
+            n AS (SELECT DISTINCT s AS node FROM e),
+            reach(a, b) AS (
+                SELECT node, node FROM n
+                UNION
+                SELECT r.a, e.o FROM reach r JOIN e ON e.s = r.b
+            ),
+            comp AS (SELECT a AS entity, MIN(b) AS component_id
+                     FROM reach GROUP BY a)
+            SELECT entity, component_id,
+                   CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+                       AS component_size
+            FROM comp
+        """,
+        "khop_neighborhood": f"""
+            WITH RECURSIVE
+            e AS (SELECT DISTINCT subject_id AS s, object_id AS o
+                  FROM read_parquet('{t}')),
+            seed AS (SELECT MIN(subject_id) AS ent FROM read_parquet('{t}')),
+            reach(entity, hop) AS (
+                SELECT ent, 0 FROM seed
+                UNION
+                SELECT e.o, r.hop + 1
+                FROM reach r JOIN e ON e.s = r.entity
+                WHERE r.hop < 2
+            )
+            SELECT entity, CAST(MIN(hop) AS BIGINT) AS hop
+            FROM reach GROUP BY entity
+        """,
+    }
+
+
 def _rolling_fingerprints(sf_dir: str):
     from docprocai_service_ray.pipelines.benchqueries import _pq
     from docprocai_service_ray.stages.textstats import bpe_ish_token_counts, rolling_fingerprint
@@ -510,6 +604,9 @@ _GOLDEN_QUERIES = [
     "embedding_near_dup",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # iterative float fixpoint — no exact SQL; verified vs dense numpy in
+    # tests/test_graph.py, frozen rounded to 8dp
+    "pagerank_entities",
 ]
 
 
@@ -547,6 +644,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "train_holdout_counts": _train_holdout_counts,
             "value_quantiles": _value_quantiles,
             "token_doc_frequency": _token_doc_frequency,
+            "entity_degree": _entity_degree,
+            "pagerank_entities": _pagerank_entities,
+            "khop_neighborhood": _khop_neighborhood,
+            "graph_components": _graph_components,
         }
     )
     return q
@@ -562,5 +663,6 @@ def oracle_sql() -> dict[str, str]:
 
     sql["value_quantiles"] = quantile_sql("events", "event_type", "value", [0.25, 0.5, 0.9])
     sql["token_doc_frequency"] = _TOKEN_DF_SQL
+    sql.update(_graph_sql())
     sql.update(_golden_sql())
     return sql

@@ -1,0 +1,262 @@
+"""Graph analytics over the materialized knowledge graph.
+
+The reference stores its KG in Postgres and answers graph-shaped questions
+(entity neighborhoods, link counts) with SQL over the ``entity`` /
+``relation`` tables (reference: SegmentDbConnector.py's entity queries and
+the GraphQL ``semanticSearch``/entity endpoints). Here the triple store is
+a Parquet-backed Dataset, so the same questions become Ray Data
+aggregations and iterative joins:
+
+- :func:`entity_degree` — in/out/total degree per entity. One per-batch
+  partial count + one grouped sum (partition_reduce): a single all-to-all
+  over (entity, partial_count) rows, never raw triples.
+- :func:`pagerank` — damped power iteration. Each iteration is ONE join
+  of the (src, dst, out_deg)-edge table against the current O(V) rank
+  table plus one grouped sum; ranks (not edges) are materialized between
+  iterations, so per-iteration state is O(entities), while the edge scan
+  streams. The rank side rides hash_join's auto tier: broadcast while it
+  fits 64 MB, shuffle join beyond — the 10^12-doc path needs no code
+  change.
+- :func:`khop_neighborhood` — BFS frontier expansion from one seed.
+  The frontier/visited sets live on the driver because the output IS the
+  neighborhood (a query-surface result, bounded by the answer size, like
+  the reference's per-entity GraphQL lookups); each hop is one broadcast
+  semi-join filter over the streaming edge table. Whole-graph traversal
+  (unbounded output) belongs to :func:`pagerank`-style iterated joins,
+  not this helper.
+
+Determinism: degree counts are exact integers; pagerank rounds the final
+ranks (float sums associate differently across block orders, so only the
+rounded output is stable run-to-run — tests additionally check the raw
+values against a dense numpy reference at 1e-9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..state.groupby import distinct_rows, partition_reduce
+from ..state.joins import hash_join
+
+
+def triple_edges(triples, *, src: str = "subject_id", dst: str = "object_id",
+                 num_partitions: int = 64):
+    """Distinct directed (src, dst) edges from a triple Dataset (predicates
+    collapsed — multigraph edges count once, the standard PageRank/BFS
+    graph view)."""
+    edges = triples.map_batches(
+        lambda t: t.select([src, dst]).rename_columns(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    return distinct_rows(edges, ["src", "dst"], num_partitions=num_partitions)
+
+
+def entity_degree(triples, *, src: str = "subject_id", dst: str = "object_id",
+                  num_partitions: int = 32):
+    """Per-entity out/in/total triple counts.
+
+    Phase 0 counts each batch's subjects and objects locally (two pandas
+    value_counts), so the shuffle moves one (entity, out_n, in_n) row per
+    distinct entity per batch — head entities (the KG's skew axis) never
+    concentrate raw rows in one partition.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[src].value_counts()
+        i = df[dst].value_counts()
+        ent = o.index.union(i.index)
+        return pd.DataFrame(
+            {
+                "entity": ent,
+                "out_deg": o.reindex(ent, fill_value=0).astype("int64").values,
+                "in_deg": i.reindex(ent, fill_value=0).astype("int64").values,
+            }
+        )
+
+    def reduce(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby("entity", as_index=False).agg(
+            out_deg=("out_deg", "sum"), in_deg=("in_deg", "sum")
+        )
+        out["degree"] = out["out_deg"] + out["in_deg"]
+        return out
+
+    partials = triples.map_batches(partial, batch_format="pandas")
+    return partition_reduce(partials, ["entity"], reduce,
+                            num_partitions=num_partitions)
+
+
+def _ranks_init(nodes, n: int):
+    r0 = 1.0 / n
+
+    def init(t: pa.Table) -> pa.Table:
+        return t.append_column("rank", pa.array([r0] * len(t), pa.float64()))
+
+    return nodes.map_batches(init, batch_format="pyarrow")
+
+
+def pagerank(triples, *, damping: float = 0.85, iters: int = 20,
+             num_partitions: int = 32, round_to: int | None = 8):
+    """Damped PageRank over the distinct-edge view of a triple Dataset.
+
+    Returns a Dataset of (entity, rank) with ranks summing to 1. Dangling
+    mass (entities with no out-edges) is redistributed uniformly each
+    iteration — the scalar is derived from the contribution total, so no
+    extra dangling-node join is needed. ``round_to`` rounds the FINAL
+    ranks for cross-run stability (see module docstring); pass None for
+    raw floats.
+    """
+    edges = triple_edges(triples, num_partitions=num_partitions)
+
+    out_deg = partition_reduce(
+        edges.map_batches(
+            lambda df: df["src"].value_counts().rename_axis("entity")
+            .reset_index(name="out_deg"),
+            batch_format="pandas",
+        ),
+        ["entity"],
+        lambda p: p.groupby("entity", as_index=False)["out_deg"].sum(),
+        num_partitions=num_partitions,
+    )
+    # (src→entity, dst, out_deg): the static per-iteration join input.
+    edges_deg = hash_join(
+        edges.map_batches(lambda t: t.rename_columns(["entity", "dst"]),
+                          batch_format="pyarrow"),
+        out_deg, on="entity",
+    ).materialize()
+
+    nodes = distinct_rows(
+        triples.map_batches(
+            lambda t: pa.table({"entity": pa.concat_arrays(
+                [c.combine_chunks() for c in
+                 (t["subject_id"].cast(pa.string()), t["object_id"].cast(pa.string()))]
+            )}),
+            batch_format="pyarrow",
+        ),
+        ["entity"],
+        num_partitions=num_partitions,
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"entity": pa.array([], pa.string()),
+                      "rank": pa.array([], pa.float64())}))
+
+    ranks = _ranks_init(nodes, n).materialize()
+
+    for _ in range(iters):
+        contribs = partition_reduce(
+            hash_join(edges_deg, ranks, on="entity").map_batches(
+                lambda df: pd.DataFrame(
+                    {"entity": df["dst"], "s": df["rank"] / df["out_deg"]}
+                ).groupby("entity", as_index=False)["s"].sum(),
+                batch_format="pandas",
+            ),
+            ["entity"],
+            lambda p: p.groupby("entity", as_index=False)["s"].sum(),
+            num_partitions=num_partitions,
+        ).materialize()
+        # ranks sum to 1, so mass not re-emitted through an out-edge is
+        # exactly the dangling ranks — no dangling-node join needed.
+        sent = contribs.sum("s") if contribs.count() else 0.0
+        dangling = max(0.0, 1.0 - float(sent or 0.0))
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        def renew(df: pd.DataFrame, base=base) -> pd.DataFrame:
+            s = df["s"].fillna(0.0) if "s" in df else 0.0
+            return pd.DataFrame(
+                {"entity": df["entity"], "rank": base + damping * s}
+            )
+
+        ranks = hash_join(nodes, contribs, on="entity", how="left").map_batches(
+            renew, batch_format="pandas"
+        ).materialize()
+
+    if round_to is not None:
+        ranks = ranks.map_batches(
+            lambda df: df.assign(rank=df["rank"].round(round_to)),
+            batch_format="pandas",
+        )
+    return ranks
+
+
+def connected_components(triples, cfg=None, *, num_partitions: int = 32):
+    """Weakly-connected components of the entity graph: (entity,
+    component_id, component_size), component_id = lexicographic-min member.
+
+    Reuses the canonicalization engine's pointer-jumping min-label
+    propagation (stages/canonicalize._components_distributed — O(log
+    diameter) rounds, each one partitioned join + vectorized grouped min),
+    so the same machinery that clusters surface forms answers the
+    graph-shaped question directly on triples.
+    """
+    from ..config import KGConfig
+    from .canonicalize import _components_distributed
+
+    cfg = cfg or KGConfig()
+    edges = triple_edges(triples, num_partitions=num_partitions)
+    surf = distinct_rows(
+        triples.map_batches(
+            lambda t: pa.table({"surface": pa.concat_arrays(
+                [c.combine_chunks() for c in
+                 (t["subject_id"].cast(pa.string()),
+                  t["object_id"].cast(pa.string()))]
+            )}),
+            batch_format="pyarrow",
+        ),
+        ["surface"],
+        num_partitions=num_partitions,
+    )
+    labels = _components_distributed(edges, surf, cfg).map_batches(
+        lambda t: pa.table(
+            {"entity": t["node"], "component_id": t["label"]}),
+        batch_format="pyarrow",
+    )
+    sizes = partition_reduce(
+        labels.map_batches(
+            lambda df: df["component_id"].value_counts().rename_axis(
+                "component_id").reset_index(name="component_size"),
+            batch_format="pandas",
+        ),
+        ["component_id"],
+        lambda p: p.groupby("component_id", as_index=False)[
+            "component_size"].sum(),
+        num_partitions=num_partitions,
+    )
+    return hash_join(labels, sizes, on="component_id")
+
+
+def khop_neighborhood(triples, seed: str, k: int = 2):
+    """Entities reachable from ``seed`` within ``k`` directed hops, with
+    their BFS hop distance (seed itself at hop 0). Driver state is the
+    answer set only — see module docstring for the scale contract."""
+    import pyarrow.compute as pc
+
+    edges = triple_edges(triples).materialize() if k > 1 else triple_edges(triples)
+    visited: dict[str, int] = {seed: 0}
+    frontier = [seed]
+    for hop in range(1, k + 1):
+        fr_ref = ray.put(frontier)
+
+        def step(t: pa.Table) -> pa.Table:
+            fr = ray.get(fr_ref)
+            hit = t.filter(pc.is_in(t["src"], pa.array(fr, pa.string())))
+            return hit.select(["dst"])
+
+        reached = edges.map_batches(step, batch_format="pyarrow")
+        new = sorted(
+            {r["dst"] for r in distinct_rows(reached, ["dst"]).take_all()}
+            - visited.keys()
+        )
+        for d in new:
+            visited[d] = hop
+        frontier = new
+        if not frontier:
+            break
+    ordered = sorted(visited)
+    return pa.table(
+        {"entity": pa.array(ordered, pa.string()),
+         "hop": pa.array([visited[e] for e in ordered], pa.int64())}
+    )

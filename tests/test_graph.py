@@ -1,0 +1,153 @@
+"""Graph analytics (stages/graph.py): degree vs pandas, PageRank vs a
+dense numpy power iteration, k-hop BFS vs a driver-side reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from docprocai_service_ray.stages.graph import (
+    connected_components,
+    entity_degree,
+    khop_neighborhood,
+    pagerank,
+    triple_edges,
+)
+
+
+def _triples_df(seed: int = 3, n: int = 900, n_ent: int = 120) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    ents = [f"e{i:03d}" for i in range(n_ent)]
+    # skewed: entity 0 is a head node, some entities dangling (no out-edges)
+    subj = [ents[min(int(abs(rng.standard_cauchy()) * 5) % (n_ent - 20), n_ent - 21)]
+            for _ in range(n)]
+    obj = [ents[rng.randint(0, n_ent)] for _ in range(n)]
+    pred = [f"p{rng.randint(0, 5)}" for _ in range(n)]
+    df = pd.DataFrame(
+        {"subject_id": subj, "pred": pred, "object_id": obj,
+         "weight": np.ones(n)}
+    )
+    return df[df.subject_id != df.object_id].reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def triples(ray_session):
+    return rd.from_pandas(_triples_df()).repartition(7)
+
+
+def _dense_pagerank(edges: pd.DataFrame, damping: float, iters: int):
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {e: i for i, e in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for s, d in edges.itertuples(index=False):
+        adj[idx[s], idx[d]] = 1.0
+    out = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        nz = out > 0
+        contrib += (r[nz] / out[nz]) @ adj[nz]
+        dangling = r[~nz].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return dict(zip(nodes, r))
+
+
+class TestDegree:
+    def test_matches_pandas(self, triples):
+        df = _triples_df()
+        got = entity_degree(triples).to_pandas().set_index("entity").sort_index()
+        out = df["subject_id"].value_counts()
+        inn = df["object_id"].value_counts()
+        ents = out.index.union(inn.index)
+        assert (got["out_deg"].reindex(ents).fillna(0)
+                == out.reindex(ents, fill_value=0)).all()
+        assert (got["in_deg"].reindex(ents).fillna(0)
+                == inn.reindex(ents, fill_value=0)).all()
+        assert (got["degree"] == got["out_deg"] + got["in_deg"]).all()
+
+    def test_distinct_edges(self, triples):
+        df = _triples_df()
+        want = df[["subject_id", "object_id"]].drop_duplicates()
+        got = triple_edges(triples).to_pandas()
+        assert len(got) == len(want)
+        assert set(map(tuple, got.values)) == set(map(tuple, want.values))
+
+
+class TestPageRank:
+    def test_matches_dense_reference(self, triples):
+        edges = _triples_df()[["subject_id", "object_id"]].drop_duplicates()
+        edges.columns = ["src", "dst"]
+        want = _dense_pagerank(edges, 0.85, 12)
+        got = {
+            r["entity"]: r["rank"]
+            for r in pagerank(triples, iters=12, round_to=None).take_all()
+        }
+        assert set(got) == set(want)
+        for e, v in want.items():
+            assert got[e] == pytest.approx(v, abs=1e-9)
+
+    def test_ranks_sum_to_one(self, triples):
+        total = sum(r["rank"] for r in pagerank(triples, iters=5).take_all())
+        assert total == pytest.approx(1.0, abs=1e-6)
+
+
+class TestComponents:
+    def test_matches_unionfind_reference(self, triples):
+        edges = _triples_df()[["subject_id", "object_id"]].drop_duplicates()
+        parent: dict[str, str] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in edges.itertuples(index=False):
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)
+        want_comp = {n: find(n) for n in parent}
+        # canonical id must be the lexicographic-min member
+        members: dict[str, set] = {}
+        for n, c in want_comp.items():
+            members.setdefault(c, set()).add(n)
+        want = {
+            (n, min(members[c]), len(members[c]))
+            for n, c in want_comp.items()
+        }
+        got = {
+            (r["entity"], r["component_id"], r["component_size"])
+            for r in connected_components(triples).take_all()
+        }
+        assert got == want
+
+
+class TestKhop:
+    def test_matches_bfs_reference(self, triples):
+        edges = _triples_df()[["subject_id", "object_id"]].drop_duplicates()
+        adj: dict[str, set[str]] = {}
+        for s, d in edges.itertuples(index=False):
+            adj.setdefault(s, set()).add(d)
+        seed = sorted(adj)[0]
+        want = {seed: 0}
+        frontier = [seed]
+        for hop in (1, 2):
+            nxt = sorted(
+                {d for s in frontier for d in adj.get(s, ())} - want.keys()
+            )
+            for d in nxt:
+                want[d] = hop
+            frontier = nxt
+        got = khop_neighborhood(triples, seed, k=2)
+        assert {(r["entity"], r["hop"]) for r in got.to_pylist()} == set(
+            want.items()
+        )
+
+    def test_seed_only_when_no_edges(self, triples):
+        got = khop_neighborhood(triples, "zz_not_an_entity", k=2)
+        assert got.to_pylist() == [{"entity": "zz_not_an_entity", "hop": 0}]
