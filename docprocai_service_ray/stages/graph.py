@@ -186,17 +186,19 @@ def connected_components(triples, cfg=None, *, num_partitions: int = 32):
     """Weakly-connected components of the entity graph: (entity,
     component_id, component_size), component_id = lexicographic-min member.
 
-    Reuses the canonicalization engine's pointer-jumping min-label
-    propagation (stages/canonicalize._components_distributed — O(log
-    diameter) rounds, each one partitioned join + vectorized grouped min),
-    so the same machinery that clusters surface forms answers the
-    graph-shaped question directly on triples.
+    Size-gated like canonicalization: a distinct-edge set within
+    cfg.driver_unionfind_max runs the driver union-find (same kernel the
+    entity-map path uses — shuffling a vocab-sized problem is strictly
+    worse than one core); beyond the gate it reuses the canonicalization
+    engine's pointer-jumping min-label propagation
+    (stages/canonicalize._components_distributed — O(log diameter)
+    rounds, each one partitioned join + vectorized grouped min).
     """
     from ..config import KGConfig
-    from .canonicalize import _components_distributed
+    from .canonicalize import _components_distributed, _components_driver
 
     cfg = cfg or KGConfig()
-    edges = triple_edges(triples, num_partitions=num_partitions)
+    edges = triple_edges(triples, num_partitions=num_partitions).materialize()
     surf = distinct_rows(
         triples.map_batches(
             lambda t: pa.table({"surface": pa.concat_arrays(
@@ -209,11 +211,21 @@ def connected_components(triples, cfg=None, *, num_partitions: int = 32):
         ["surface"],
         num_partitions=num_partitions,
     )
-    labels = _components_distributed(edges, surf, cfg).map_batches(
-        lambda t: pa.table(
-            {"entity": t["node"], "component_id": t["label"]}),
-        batch_format="pyarrow",
-    )
+    if edges.count() <= cfg.driver_unionfind_max:
+        comp = _components_driver(
+            edges.take_all(), [r["surface"] for r in surf.take_all()]
+        )
+        labels = ray.data.from_arrow(pa.table({
+            "entity": pa.array(sorted(comp), pa.string()),
+            "component_id": pa.array(
+                [comp[n] for n in sorted(comp)], pa.string()),
+        }))
+    else:
+        labels = _components_distributed(edges, surf, cfg).map_batches(
+            lambda t: pa.table(
+                {"entity": t["node"], "component_id": t["label"]}),
+            batch_format="pyarrow",
+        )
     sizes = partition_reduce(
         labels.map_batches(
             lambda df: df["component_id"].value_counts().rename_axis(

@@ -126,6 +126,20 @@ class TestComponents:
         }
         assert got == want
 
+    def test_distributed_tier_matches_driver(self, triples):
+        import dataclasses
+
+        from docprocai_service_ray.config import KGConfig
+
+        dist_cfg = dataclasses.replace(KGConfig(), driver_unionfind_max=0)
+        key = lambda ds: {
+            (r["entity"], r["component_id"], r["component_size"])
+            for r in ds.take_all()
+        }
+        assert key(connected_components(triples, dist_cfg)) == key(
+            connected_components(triples)
+        )
+
 
 class TestKhop:
     def test_matches_bfs_reference(self, triples):
