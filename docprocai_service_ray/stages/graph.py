@@ -97,8 +97,38 @@ def _ranks_init(nodes, n: int):
     return nodes.map_batches(init, batch_format="pyarrow")
 
 
+def _pagerank_driver(edge_rows: list[dict], damping: float, iters: int,
+                     round_to: int | None):
+    """Sparse power iteration on the driver for vocab-sized graphs —
+    O(E) numpy scatter-adds per round, edges sorted first so float
+    accumulation order (hence the rounded output) is EXACTLY reproducible
+    regardless of block arrival order."""
+    pairs = sorted((r["src"], r["dst"]) for r in edge_rows)
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    idx = {e: i for i, e in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"entity": pa.array([], pa.string()),
+                      "rank": pa.array([], pa.float64())}))
+    src = np.fromiter((idx[s] for s, _ in pairs), dtype=np.int64)
+    dst = np.fromiter((idx[d] for _, d in pairs), dtype=np.int64)
+    out = np.bincount(src, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] / out[src])
+        dangling = r[out == 0].sum()
+        r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    if round_to is not None:
+        r = r.round(round_to)
+    return ray.data.from_arrow(
+        pa.table({"entity": pa.array(nodes, pa.string()),
+                  "rank": pa.array(r, pa.float64())}))
+
+
 def pagerank(triples, *, damping: float = 0.85, iters: int = 20,
-             num_partitions: int = 32, round_to: int | None = 8):
+             num_partitions: int = 32, round_to: int | None = 8, cfg=None):
     """Damped PageRank over the distinct-edge view of a triple Dataset.
 
     Returns a Dataset of (entity, rank) with ranks summing to 1. Dangling
@@ -107,8 +137,19 @@ def pagerank(triples, *, damping: float = 0.85, iters: int = 20,
     extra dangling-node join is needed. ``round_to`` rounds the FINAL
     ranks for cross-run stability (see module docstring); pass None for
     raw floats.
+
+    Size-gated like :func:`connected_components`: a distinct-edge set
+    within cfg.driver_unionfind_max runs a sparse numpy power iteration
+    on the driver (20 distributed rounds over a vocab-sized graph is all
+    fixed overhead); the streaming join path engages above the gate and
+    is parity-tested against a dense reference at 1e-9.
     """
-    edges = triple_edges(triples, num_partitions=num_partitions)
+    from ..config import KGConfig
+
+    cfg = cfg or KGConfig()
+    edges = triple_edges(triples, num_partitions=num_partitions).materialize()
+    if edges.count() <= cfg.driver_unionfind_max:
+        return _pagerank_driver(edges.take_all(), damping, iters, round_to)
 
     out_deg = partition_reduce(
         edges.map_batches(

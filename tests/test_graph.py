@@ -78,13 +78,23 @@ class TestDegree:
 
 
 class TestPageRank:
-    def test_matches_dense_reference(self, triples):
+    @pytest.mark.parametrize("tier", ["driver", "distributed"])
+    def test_matches_dense_reference(self, triples, tier):
+        import dataclasses
+
+        from docprocai_service_ray.config import KGConfig
+
+        cfg = KGConfig()
+        if tier == "distributed":
+            cfg = dataclasses.replace(cfg, driver_unionfind_max=0)
         edges = _triples_df()[["subject_id", "object_id"]].drop_duplicates()
         edges.columns = ["src", "dst"]
         want = _dense_pagerank(edges, 0.85, 12)
         got = {
             r["entity"]: r["rank"]
-            for r in pagerank(triples, iters=12, round_to=None).take_all()
+            for r in pagerank(
+                triples, iters=12, round_to=None, cfg=cfg
+            ).take_all()
         }
         assert set(got) == set(want)
         for e, v in want.items():
