@@ -45,6 +45,14 @@ class KGConfig:
     driver_dedup_max: int = 5_000_000  # docs row count below which the url-dedup
                                      # winners pass collects the (url, ts, hash)
                                      # projection instead of shuffling it
+    winners_broadcast_max: int = 2_000_000  # url-dedup WINNER-row count above which
+                                     # the broadcast winners map is replaced by a
+                                     # distributed left hash-join filter (the driver
+                                     # never holds the winners; stages/extract.py)
+    emap_broadcast_max_bytes: int = 64 << 20  # entity-map byte estimate above which
+                                     # triple canonicalization switches from the
+                                     # driver-dict broadcast to canonicalize_via_join
+                                     # (stages/materialize.build_triples_auto)
     # ---- entity linking ----
     link_threshold: float = 0.40     # cutoff on 0.5*cos+0.5*prior — structural analog of
                                      # the reference's 0.7 similarity cutoff

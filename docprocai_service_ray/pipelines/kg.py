@@ -24,7 +24,7 @@ import ray.data as rd
 from ..config import DEFAULT_CONFIG, KGConfig
 from ..stages.canonicalize import build_entity_map
 from ..stages.extract import build_docs, dedup_urls, drop_empty, extract_docs
-from ..stages.materialize import build_triples, entity_map_to_dict
+from ..stages.materialize import build_triples_auto
 from ..stages.mention import build_mentions
 from ..stages.segment import build_sentences
 from ..stages.triple_extract import build_triples_raw
@@ -130,8 +130,7 @@ def reprocess_urls(
     write_stage(entity_map, out_dir, "entity_map", extra={"reprocessed_urls": len(urls)})
     entity_map = rd.read_parquet(stage_output_dir(out_dir, "entity_map"))
     out["entity_map"] = entity_map
-    emap_ref = ray.put(entity_map_to_dict(entity_map))
-    triples = build_triples(out["triples_raw"], emap_ref, cfg)
+    triples = build_triples_auto(out["triples_raw"], entity_map, cfg)
     write_stage(triples, out_dir, "triples",
                 extra={"partitioned_by": "bucket", "reprocessed_urls": len(urls)},
                 write_kwargs={"partition_cols": ["bucket"]})
@@ -177,8 +176,10 @@ def run_kg(
             out["mentions"] = build_mentions(triples_raw, alias_ref, cfg)
         entity_map = build_entity_map(triples_raw, alias_ref, cfg)
         out["entity_map"] = entity_map
-        emap_ref = ray.put(entity_map_to_dict(entity_map))
-        out["triples"] = build_triples(triples_raw, emap_ref, cfg)
+        # auto-tiered: broadcast dict under cfg.emap_broadcast_max_bytes,
+        # distributed canonicalize_via_join above it — no unconditional
+        # driver-side materialization of the map
+        out["triples"] = build_triples_auto(triples_raw, entity_map, cfg)
         return out
 
     # checkpointed mode: every stage materializes to Parquet + manifest row
@@ -247,8 +248,7 @@ def run_kg(
     )
     out["entity_map"] = entity_map
 
-    emap_ref = ray.put(entity_map_to_dict(entity_map))
-    triples = build_triples(triples_raw, emap_ref, cfg)
+    triples = build_triples_auto(triples_raw, entity_map, cfg)
     if out_dir is not None:
         # final output is partitioned by subject bucket (resumable layout)
         from ..state.manifest import is_stage_done, stage_output_dir

@@ -120,7 +120,15 @@ def dedup_urls(docs_ds, cfg: KGConfig):
         win_df = winners(proj.to_pandas())
         win_rows = win_df.to_dict("records")
     else:
-        dup_winners = partition_reduce(proj, ["url"], winners, num_partitions=64)
+        dup_winners = partition_reduce(
+            proj, ["url"], winners, num_partitions=64
+        ).materialize()
+        n_win = dup_winners.count()  # metadata-only after materialize
+        if n_win > cfg.winners_broadcast_max:
+            # scale tier: the winners table is too large for a driver
+            # collect + broadcast map — filter via a distributed left hash
+            # join instead (the driver never holds a winner row)
+            return _dedup_join_tier(docs_ds, dup_winners)
         win_rows = dup_winners.take_all()  # small: only urls that appear 2+ times
     win_map = {r["url"]: (r["warc_ts"], r["content_hash"]) for r in win_rows}
     tie_urls = sorted(r["url"] for r in win_rows if r["n_win_copies"] > 1)
@@ -170,6 +178,52 @@ def dedup_urls(docs_ds, cfg: KGConfig):
     return base.union(tied_once)
 
 
+def _dedup_join_tier(docs_ds, dup_winners):
+    """Winners-too-large-to-broadcast tier of ``dedup_urls``: a distributed
+    left hash join pulls each doc row's winner (if its url is duplicated)
+    onto the row, a vectorized mask keeps non-duplicated urls and winner
+    rows, and byte-identical full ties collapse via ``distinct_rows`` —
+    selected on the tied rows by the joined ``n_win_copies`` column, so no
+    tie set is ever broadcast either. Same semantics as the broadcast path
+    (parity: tests/test_dedup_join_tier.py)."""
+    import pandas as pd
+
+    from ..state.groupby import distinct_rows
+    from ..state.joins import hash_join
+
+    win = dup_winners.map_batches(
+        lambda df: pd.DataFrame(
+            {"url": df["url"], "win_ts": df["warc_ts"],
+             "win_hash": df["content_hash"], "n_win_copies": df["n_win_copies"]}
+        ),
+        batch_format="pandas",
+    )
+    joined = hash_join(docs_ds, win, on="url", how="left")
+
+    def _to_docs(df: pd.DataFrame) -> pa.Table:
+        # pandas round-trip loses binary(16)/timestamp[us] — restore schema
+        return pa.Table.from_pandas(
+            df[list(DOCS_SCHEMA.names)], schema=DOCS_SCHEMA, preserve_index=False
+        )
+
+    def _base(df: pd.DataFrame) -> pa.Table:
+        keep = df["win_ts"].isna() | (
+            (df["warc_ts"] == df["win_ts"]) & (df["content_hash"] == df["win_hash"])
+        )
+        return _to_docs(df[keep & (df["n_win_copies"].fillna(1) <= 1)])
+
+    def _tied(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["warc_ts"] == df["win_ts"]) & (df["content_hash"] == df["win_hash"])
+        return df[keep & (df["n_win_copies"].fillna(1) > 1)][list(DOCS_SCHEMA.names)]
+
+    base = joined.map_batches(_base, batch_format="pandas")
+    tied_once = distinct_rows(
+        joined.map_batches(_tied, batch_format="pandas"), ["url"],
+        num_partitions=16,
+    ).map_batches(_to_docs, batch_format="pandas")
+    return base.union(tied_once)
+
+
 def dedup_urls_meta(pages_ds, cfg: KGConfig):
     """Metadata-first url-dedup (streaming mode): the winner per url is the
     max ``warc_ts`` capture — decidable from the 2-column (url, warc_ts)
@@ -212,7 +266,12 @@ def dedup_urls_meta(pages_ds, cfg: KGConfig):
     if n_rows <= cfg.driver_dedup_max:
         win_rows = winners(proj.to_pandas()).to_dict("records")
     else:
-        win_rows = partition_reduce(proj, ["url"], winners, num_partitions=64).take_all()
+        dup_winners = partition_reduce(
+            proj, ["url"], winners, num_partitions=64
+        ).materialize()
+        if dup_winners.count() > cfg.winners_broadcast_max:
+            return _dedup_meta_join_tier(pages_ds, dup_winners, cfg)
+        win_rows = dup_winners.take_all()
     win_map = {r["url"]: r["warc_ts"] for r in win_rows}
     tie_urls = sorted(r["url"] for r in win_rows if r["n_at_max"] > 1)
     if not win_map:
@@ -259,6 +318,61 @@ def dedup_urls_meta(pages_ds, cfg: KGConfig):
     ).map_batches(
         # pandas round-trip loses binary(16)/timestamp[us] — restore DOCS_SCHEMA
         lambda df: pa.Table.from_pandas(df, schema=DOCS_SCHEMA, preserve_index=False),
+        batch_format="pandas",
+    )
+    return base.union(tied_best)
+
+
+def _dedup_meta_join_tier(pages_ds, dup_winners, cfg: KGConfig):
+    """Winners-too-large-to-broadcast tier of ``dedup_urls_meta``: the
+    max-ts winner (and its tie count) is joined onto the PAGES rows before
+    extraction — losers are dropped by a vectorized mask and never parsed,
+    tied captures (``n_at_max > 1``) take the max-content_hash tiebreak
+    via a distributed ``partition_reduce`` selected by the joined column.
+    The trade at this tier: the pages' html shuffles once by url bucket
+    (unavoidable when the winner set itself exceeds broadcast size); the
+    broadcast tier below the gate shuffles nothing."""
+    import pandas as pd
+
+    from ..state.groupby import partition_reduce as _pr
+    from ..state.joins import hash_join
+
+    win = dup_winners.map_batches(
+        lambda df: pd.DataFrame(
+            {"url": df["url"], "win_ts": df["warc_ts"], "n_at_max": df["n_at_max"]}
+        ),
+        batch_format="pandas",
+    )
+    joined = hash_join(pages_ds, win, on="url", how="left")
+    page_cols = ["url", "warc_ts", "html", "lang"]
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["win_ts"].isna() | (df["warc_ts"] == df["win_ts"])]
+
+    kept = joined.map_batches(_keep, batch_format="pandas")
+    base_pages = kept.map_batches(
+        lambda df: df[df["n_at_max"].fillna(1) <= 1][page_cols],
+        batch_format="pandas",
+    )
+    tied_pages = kept.map_batches(
+        lambda df: df[df["n_at_max"].fillna(1) > 1][page_cols],
+        batch_format="pandas",
+    )
+
+    def _best_hash(part: pd.DataFrame) -> pd.DataFrame:
+        # max content_hash wins; keep-first also collapses byte-identical
+        # full ties to one copy
+        return part.sort_values(
+            ["url", "content_hash"], ascending=[True, False]
+        ).drop_duplicates("url", keep="first")
+
+    base = extract_docs(base_pages, cfg)
+    tied_best = _pr(
+        extract_docs(tied_pages, cfg), ["url"], _best_hash, num_partitions=16
+    ).map_batches(
+        lambda df: pa.Table.from_pandas(
+            df[list(DOCS_SCHEMA.names)], schema=DOCS_SCHEMA, preserve_index=False
+        ),
         batch_format="pandas",
     )
     return base.union(tied_best)

@@ -66,38 +66,100 @@ _PARTIAL_SCHEMA = pa.schema(
 
 class _PartialAgg:
     """Phase 0: per-batch combine. Canonical-id lookup from the broadcast
-    entity map happens here too (once per actor, zero-copy read)."""
+    entity map happens here too (once per actor, zero-copy read).
+
+    Fully vectorized over occurrences (the hottest per-row path in the KG
+    pipeline — every triples_raw row passes through): the emap lookup is an
+    Arrow ``index_in``+``take``+``coalesce``, the per-key grouping is ONE
+    Arrow multi-key sort (key columns first, then the prov tuple order
+    (url, sent_id, warc_ts), so each key's min-k provenance is exactly its
+    group's head rows), and group boundaries come from shifted-array
+    compares. Python touches only DISTINCT keys (the pickle emit), never
+    occurrences — identical output to the old per-row dict loop."""
 
     def __init__(self, emap_ref: ray.ObjectRef, cfg: KGConfig, num_parts: int):
         self.emap: dict[str, str] = ray.get(emap_ref)
         self.cfg = cfg
         self.num_parts = num_parts
+        # broadcast map as parallel Arrow arrays: per-batch lookup is a
+        # vectorized hash probe (index_in), not n dict .get() calls
+        if self.emap:
+            self._map_keys = pa.array(list(self.emap.keys()), pa.string())
+            self._map_vals = pa.array(list(self.emap.values()), pa.string())
+        else:
+            self._map_keys = None
+
+    def _canon(self, col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        import pyarrow.compute as pc
+
+        if self._map_keys is None:
+            return col
+        idx = pc.index_in(col, value_set=self._map_keys)
+        return pc.coalesce(pc.take(self._map_vals, idx), col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
         cfg = self.cfg
-        agg: dict[tuple[str, str, str], list] = {}
-        rows = zip(
-            batch["subj"].to_pylist(),
-            batch["pred"].to_pylist(),
-            batch["obj"].to_pylist(),
-            batch["url"].to_pylist(),
-            batch["warc_ts"].to_pylist(),
-            batch["sent_id"].to_pylist(),
+        n = batch.num_rows
+        if n == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        keyed = pa.table(
+            {
+                "subj": self._canon(batch["subj"]),
+                "pred": batch["pred"],
+                "obj": self._canon(batch["obj"]),
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "sent_id": batch["sent_id"],
+            }
         )
-        for subj, pred, obj, url, ts, sid in rows:
-            key = (self.emap.get(subj, subj), pred, self.emap.get(obj, obj))
-            ent = agg.get(key)
-            if ent is None:
-                ent = agg[key] = [0, []]  # weight, prov tuples
-            ent[0] += 1
-            ent[1].append((url, sid, ts))
+        order = pc.sort_indices(
+            keyed,
+            sort_keys=[(c, "ascending")
+                       for c in ("subj", "pred", "obj", "url", "sent_id", "warc_ts")],
+        )
+        keyed = keyed.take(order).combine_chunks()
+        s, p, o = keyed["subj"], keyed["pred"], keyed["obj"]
+        if n > 1:
+            neq = pc.or_(
+                pc.or_(
+                    pc.not_equal(s.slice(1), s.slice(0, n - 1)),
+                    pc.not_equal(p.slice(1), p.slice(0, n - 1)),
+                ),
+                pc.not_equal(o.slice(1), o.slice(0, n - 1)),
+            ).combine_chunks().to_numpy(zero_copy_only=False)
+            starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+        else:
+            starts = np.array([0])
+        ends = np.append(starts, n)[1:]
+        cap = cfg.prov_cap
+        # materialize to Python only what the payloads touch: one key row
+        # per group, and at most ``cap`` prov rows per group (timestamps as
+        # int64 epoch-us — _merge sorts them identically and pyarrow casts
+        # them back to timestamp at final emission)
+        start_idx = pa.array(starts)
+        sl = s.take(start_idx).to_pylist()
+        pl = p.take(start_idx).to_pylist()
+        ol = o.take(start_idx).to_pylist()
+        counts = np.minimum(ends - starts, cap)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        prov_idx = np.repeat(starts - offs[:-1], counts) + np.arange(offs[-1])
+        prov_take = pa.array(prov_idx)
+        urls = keyed["url"].take(prov_take).to_pylist()
+        sids = keyed["sent_id"].take(prov_take).combine_chunks().to_numpy().tolist()
+        tss = (
+            keyed["warc_ts"].take(prov_take).combine_chunks()
+            .to_numpy().astype("datetime64[us]").view("i8").tolist()
+        )
+        weights = (ends - starts).tolist()
         parts, payloads = [], []
-        for key, (w, prov) in agg.items():
-            prov.sort()
+        for i, (a, b) in enumerate(zip(offs[:-1].tolist(), offs[1:].tolist())):
+            key = (sl[i], pl[i], ol[i])
+            prov = list(zip(urls[a:b], sids[a:b], tss[a:b]))
             parts.append(stable_u64("\x1f".join(key)) % self.num_parts)
-            payloads.append(
-                pickle.dumps((key, w, prov[: cfg.prov_cap]), protocol=5)
-            )
+            payloads.append(pickle.dumps((key, weights[i], prov), protocol=5))
         return pa.Table.from_arrays(
             [pa.array(parts, pa.int64()), pa.array(payloads, pa.binary())],
             schema=_PARTIAL_SCHEMA,
@@ -197,6 +259,34 @@ def build_triples(triples_raw_ds, emap_ref: ray.ObjectRef, cfg: KGConfig):
     return lvl2.groupby("part").map_groups(
         lambda g: _merge_partition(g, cfg), batch_format="pyarrow"
     )
+
+
+def build_triples_auto(triples_raw_ds, entity_map_ds, cfg: KGConfig):
+    """Auto-tiered canonical-triple build: size-gate the driver broadcast
+    of the entity map (VERDICT r2 #1 — the last driver-side materialization
+    on the flagship path's scale axis).
+
+    A metadata-only byte estimate of ``entity_map_ds`` (never executes an
+    already-checkpointed map) decides the tier:
+    - ≤ ``cfg.emap_broadcast_max_bytes``: collect → ``ray.put`` dict →
+      in-actor lookup inside phase-0 (the vocab-sized common case);
+    - above: ``canonicalize_via_join`` — two bucketed left hash joins map
+      surfaces to canonical ids distributed, then the same two-phase
+      aggregation runs with an identity map. Identical output (parity:
+      tests/test_join_canonicalize.py)."""
+    from ..state.joins import _meta_size_bytes
+
+    sz = _meta_size_bytes(entity_map_ds)
+    if sz is None:
+        # unknown (lazy streaming-mode map): the map is executed next either
+        # way — materialize once so the estimate is real, not a guess
+        entity_map_ds = entity_map_ds.materialize()
+        sz = _meta_size_bytes(entity_map_ds)
+    if sz is not None and sz <= cfg.emap_broadcast_max_bytes:
+        emap_ref = ray.put(entity_map_to_dict(entity_map_ds))
+        return build_triples(triples_raw_ds, emap_ref, cfg)
+    mapped = canonicalize_via_join(triples_raw_ds, entity_map_ds)
+    return build_triples(mapped, ray.put({}), cfg)
 
 
 def canonicalize_via_join(triples_raw_ds, entity_map_ds, *, buckets: int = 32):

@@ -139,10 +139,16 @@ class MediaFeatureExtractor:
     def __init__(self, decoder_factory=DeterministicFakeDecoder, feature_dim: int = 16,
                  id_col: str = "media_id", payload_col: str = "payload",
                  kind_col: str = "kind"):
+        import inspect
+
+        # Decide by SIGNATURE whether the factory takes a feature_dim, so a
+        # genuine TypeError raised inside the factory body propagates instead
+        # of being masked by a silent no-arg retry (wrong-dim features).
         try:
-            self.decoder = decoder_factory(feature_dim)
-        except TypeError:  # factory that sizes itself (or native wrapper)
-            self.decoder = decoder_factory()
+            takes_dim = len(inspect.signature(decoder_factory).parameters) >= 1
+        except (TypeError, ValueError):  # builtins / C callables: assume yes
+            takes_dim = True
+        self.decoder = decoder_factory(feature_dim) if takes_dim else decoder_factory()
         self.dim = feature_dim
         self.id_col, self.payload_col, self.kind_col = id_col, payload_col, kind_col
 
@@ -237,7 +243,8 @@ class ThumbnailRenderer:
             elif payload[:2] == b"BM":
                 img = mc.bmp_decode(payload)
             else:
-                continue  # non-image rows pass through the pipeline untouched
+                continue  # non-image rows are SKIPPED: thumbnail output holds
+                # only (media_id, thumb, ...) rows for decodable images
             h, w = img.shape[:2]
             scale = max(h, w) / self.max_px
             th = max(1, int(round(h / scale))) if scale > 1 else h

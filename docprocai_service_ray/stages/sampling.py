@@ -28,11 +28,21 @@ import pyarrow as pa
 
 
 def sample_threshold(rate: float, prefix: int = 4) -> str:
-    """Hex threshold t such that P[md5_prefix < t] == round(rate * 16^p) / 16^p."""
+    """Hex threshold t such that P[md5_prefix < t] == round(rate * 16^p) / 16^p.
+
+    When the rounded bucket count saturates (rate → 1.0), the natural
+    threshold 16^p does not fit in ``prefix`` hex digits and its string
+    form ('10000') compares LOWER than most hex prefixes ('f…' > '1…'),
+    which would silently keep only ~1/16 of rows. Return 'g' instead:
+    0x67 > 0x66 ('f'), so 'g' is strictly greater than every hex string
+    under byte-wise comparison in both Python and DuckDB — keep-all."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     buckets = 16 ** prefix
-    return format(min(buckets, round(rate * buckets)), f"0{prefix}x")
+    n = min(buckets, round(rate * buckets))
+    if n >= buckets:
+        return "g"
+    return format(n, f"0{prefix}x")
 
 
 def _key_hash_prefix(keys: pd.Series, seed: int, prefix: int) -> pd.Series:

@@ -190,6 +190,10 @@ def embedding_near_dup_pairs(ds, *, dim: int, threshold: float = 0.95,
 def _kmeans(sample: np.ndarray, n_lists: int, seed: int, iters: int = 10) -> np.ndarray:
     """Seeded mini k-means on L2-normalized vectors (cosine ≡ dot). Fixed
     iteration count + deterministic init → identical centroids every run."""
+    if len(sample) == 0:
+        raise ValueError(
+            "no vectors to train IVF on (empty or fully-filtered dataset)"
+        )
     rng = np.random.RandomState(seed)
     sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     cent = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)].copy()

@@ -51,9 +51,29 @@ class TestHashSample:
 
     def test_threshold_edges(self):
         assert sample_threshold(0.0) == "0000"
-        assert sample_threshold(1.0) == "10000"  # > every 4-char prefix
+        # saturated rate → 'g', which byte-compares above every hex prefix
+        assert sample_threshold(1.0) == "g"
+        assert "ffff" < "g"
         with pytest.raises(ValueError):
             sample_threshold(1.5)
+
+    def test_rate_one_keeps_everything(self, docs):
+        ds = rd.from_pandas(docs)
+        assert len(_ids(hash_sample(ds, "doc_id", 1.0))) == N
+        # and the exact complement (holdout_rate=1.0) is empty train / full holdout
+        train, hold = split_train_holdout(ds, "doc_id", 1.0)
+        assert train.count() == 0 and hold.count() == N
+
+    def test_rate_one_sql_predicate_matches(self, docs):
+        import duckdb
+
+        from docprocai_service_ray.stages.sampling import sample_sql_predicate
+
+        pred = sample_sql_predicate("doc_id", 1.0)
+        n = duckdb.sql(
+            f"SELECT count(*) FROM docs WHERE {pred}"
+        ).fetchone()[0]
+        assert n == N
 
 
 class TestGroupedQuantiles:
