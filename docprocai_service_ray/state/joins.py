@@ -321,6 +321,7 @@ def asof_join(
     strategy: str = "auto",
     broadcast_max_bytes: int = _BROADCAST_MAX_BYTES,
     right_reduce=None,
+    max_partition_rows: int = 20_000_000,
 ):
     """As-of join (custom operator — Ray Data has no native equivalent;
     SURVEY-mandated composition (a): union + groupby + per-group
@@ -390,6 +391,17 @@ def asof_join(
     r_side_cols = [by] + [c for c in r_cols_final if c not in l_cols]
 
     def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) > max_partition_rows:
+            # enforce the documented single-partition-per-key memory
+            # contract LOUDLY instead of letting pandas OOM: name the
+            # hottest keys so the caller knows what to pre-aggregate
+            hot = group[by].value_counts().head(3)
+            raise ValueError(
+                f"asof_join partition exceeds max_partition_rows="
+                f"{max_partition_rows} ({len(group)} rows); hottest {by} "
+                f"keys: {hot.to_dict()} — pre-aggregate these upstream "
+                f"(e.g. time-bucketed right_reduce) or raise the bound"
+            )
         group = group.drop(columns="__part")
         l = group[group["__side"] == "l"][l_cols]
         r = group[group["__side"] == "r"][r_side_cols]

@@ -128,3 +128,64 @@ class TestBroadcastAsof:
         assert rows_b == _sorted_rows(s, cols)
         # reduce really deduplicates: ties on (uid, odate) resolve to max
         assert len(rows_b) == 300
+
+
+class TestAsofPartitionContract:
+    def test_hot_key_raises_loudly(self, ray_session):
+        """A synthetic hot key overflowing max_partition_rows must fail
+        with the offending key named, not OOM inside pandas (VERDICT r2 #9)."""
+        import numpy as np
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        n = 5000
+        left = pd.DataFrame(
+            {
+                "u": ["hot"] * n,
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(np.arange(n), unit="s"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "u": ["hot"] * 10,
+                "ots": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(np.arange(10), unit="m"),
+                "v": np.arange(10.0),
+            }
+        )
+        ds = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by="u", on="ts", right_on="ots",
+            strategy="shuffle", num_partitions=4, max_partition_rows=1000,
+        )
+        with pytest.raises(Exception, match="hot"):
+            ds.materialize()
+
+    def test_bound_not_hit_passes(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        left = pd.DataFrame(
+            {
+                "u": [f"u{i % 7}" for i in range(200)],
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(np.arange(200), unit="s"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "u": [f"u{i % 7}" for i in range(20)],
+                "ots": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(np.arange(20), unit="m"),
+                "v": np.arange(20.0),
+            }
+        )
+        out = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by="u", on="ts", right_on="ots",
+            strategy="shuffle", num_partitions=4, max_partition_rows=100_000,
+        )
+        assert out.count() == 200
