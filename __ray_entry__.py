@@ -85,6 +85,16 @@ def _kg_entity_map(sf_dir: str):
     return _kg_run(sf_dir)["entity_map"]
 
 
+def _doc_summaries(sf_dir: str):
+    """Per-doc deterministic digest (summary sentences + entity tags) —
+    reference MediaRecordInfo summary/tags analog
+    (persistence/MediaRecordInfoDbConnector.py:16-24)."""
+    from docprocai_service_ray.stages.summarize import build_doc_summaries
+
+    res = _kg_run(sf_dir)
+    return build_doc_summaries(res["sentences"], res["triples_raw"], _CFG)
+
+
 def _kg_semantic_search(sf_dir: str):
     from docprocai_service_ray.pipelines.queries import semantic_search
 
@@ -592,6 +602,7 @@ _GOLDEN_QUERIES = [
     "kg_triples",
     "kg_entity_map",
     "kg_mentions",
+    "doc_summaries",
     "kg_semantic_search",
     "near_dup_pages_minhash",
     "near_dup_pages_simhash",
@@ -627,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_sentences": _kg_sentences,
             "kg_triples": _kg_triples,
             "kg_entity_map": _kg_entity_map,
+            "doc_summaries": _doc_summaries,
             "kg_semantic_search": _kg_semantic_search,
             "near_dup_pages_minhash": _near_dup_pages_minhash,
             "near_dup_pages_simhash": _near_dup_pages_simhash,

@@ -173,6 +173,43 @@ def oracle_triples(
     return out
 
 
+def oracle_doc_summaries(sents: list[dict], triples_raw: list[dict], *,
+                         summary_k: int = 2, tags_k: int = 3) -> list[dict]:
+    """Per-url digest: top-k salient sentences (most triple extractions,
+    earlier sentence on ties, re-ordered by position, joined with ' ') +
+    top-k surfaces (subj+obj occurrences, lexicographic tie-break, joined
+    with '|') + exact triple count. Mirrors stages/summarize.py."""
+    hits: dict[tuple[str, int], int] = defaultdict(int)
+    ents: dict[tuple[str, str], int] = defaultdict(int)
+    ntrip: dict[str, int] = defaultdict(int)
+    for t in triples_raw:
+        hits[(t["url"], t["sent_id"])] += 1
+        ents[(t["url"], t["subj"])] += 1
+        ents[(t["url"], t["obj"])] += 1
+        ntrip[t["url"]] += 1
+    text = {(s["url"], s["sent_id"]): s["text"] for s in sents}
+    by_url_hits: dict[str, list] = defaultdict(list)
+    for (url, sid), h in hits.items():
+        by_url_hits[url].append((sid, h))
+    by_url_ents: dict[str, list] = defaultdict(list)
+    for (url, surf), c in ents.items():
+        by_url_ents[url].append((surf, c))
+    out = []
+    for url in sorted(ntrip):
+        top_sents = sorted(by_url_hits[url], key=lambda x: (-x[1], x[0]))[:summary_k]
+        summary = " ".join(text[(url, sid)] for sid, _ in sorted(top_sents))
+        top_ents = sorted(by_url_ents[url], key=lambda x: (-x[1], x[0]))[:tags_k]
+        out.append(
+            {
+                "url": url,
+                "summary": summary,
+                "top_entities": "|".join(s for s, _ in top_ents),
+                "n_triples": ntrip[url],
+            }
+        )
+    return out
+
+
 def run_oracle(pages: list[dict], alias_table: pa.Table, cfg: KGConfig | None = None) -> dict:
     """Full sequential pipeline; returns dict of plain-Python stage outputs."""
     cfg = cfg or KGConfig()
@@ -188,4 +225,5 @@ def run_oracle(pages: list[dict], alias_table: pa.Table, cfg: KGConfig | None = 
         "triples_raw": traw,
         "entity_map": emap,
         "triples": triples,
+        "doc_summaries": oracle_doc_summaries(sents, traw),
     }

@@ -66,6 +66,10 @@ def main() -> None:
             (s, cid, sum(1 for v in oracle["entity_map"].values() if v == cid))
             for s, cid in oracle["entity_map"].items()
         ),
+        "doc_summaries": sorted(
+            (d["url"], d["summary"], d["top_entities"], d["n_triples"])
+            for d in oracle["doc_summaries"]
+        ),
     }
 
     qs = entry.queries()

@@ -161,3 +161,23 @@ class TestOutputLayout:
             d for d in os.listdir(os.path.join(out, "triples")) if d.startswith("bucket=")
         ]
         assert len(buckets) > 1  # partitioned output, one dir per subject bucket
+
+
+def test_doc_summaries_match_oracle(kg_result, oracle_result):
+    """Deterministic per-doc digest (summary + tags) must equal the scalar
+    oracle exactly — selection rule, tie-breaks, join characters and all
+    (VERDICT r2 #8 / reference MediaRecordInfo summary+tags analog)."""
+    from docprocai_service_ray.stages.summarize import build_doc_summaries
+
+    res, _, cfg = kg_result
+    got = {
+        r["url"]: (r["summary"], r["top_entities"], r["n_triples"])
+        for r in build_doc_summaries(
+            res["sentences"], res["triples_raw"], cfg
+        ).take_all()
+    }
+    want = {
+        r["url"]: (r["summary"], r["top_entities"], r["n_triples"])
+        for r in oracle_result["doc_summaries"]
+    }
+    assert got == want and len(want) > 50
