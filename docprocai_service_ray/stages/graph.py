@@ -127,8 +127,56 @@ def _pagerank_driver(edge_rows: list[dict], damping: float, iters: int,
                   "rank": pa.array(r, pa.float64())}))
 
 
+def _copartition_edge_buckets(edges_deg, num_partitions: int, bucket_dir: str):
+    """One-time co-partitioning of the static edge side (VERDICT r2 #6):
+    bucket (entity=src, dst, out_deg) by the SAME stable hash the rank
+    tagging uses and land one Parquet directory per bucket. Every PageRank
+    iteration then shuffles only the O(V) rank table to its bucket — the
+    edge table is read in place (per-bucket, node-local page cache after
+    the first iteration; on a multi-node cluster pass shared storage as
+    ``bucket_dir``), never re-bucketed per iteration."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["entity"].astype(str), index=False)
+        df["__bucket"] = (h % num_partitions).astype("int64")
+        return df
+
+    edges_deg.map_batches(tag, batch_format="pandas").write_parquet(
+        bucket_dir, partition_cols=["__bucket"]
+    )
+    return tag
+
+
+def _copart_contribs(ranks, tag, bucket_dir: str):
+    """One co-partitioned join pass: tag ranks with the shared bucket hash,
+    group by bucket, and merge each rank group against ITS pinned edge
+    bucket — emits per-bucket partial (entity=dst, s) contribution sums."""
+
+    def merge_bucket(rg: pd.DataFrame) -> pd.DataFrame:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        b = int(rg["__bucket"].iloc[0])
+        files = sorted(glob.glob(f"{bucket_dir}/__bucket={b}/*.parquet"))
+        if not files:
+            return pd.DataFrame({"entity": pd.Series(dtype=object),
+                                 "s": pd.Series(dtype="float64")})
+        e = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                      ignore_index=True)
+        m = e.merge(rg[["entity", "rank"]], on="entity")
+        out = pd.DataFrame({"entity": m["dst"], "s": m["rank"] / m["out_deg"]})
+        return out.groupby("entity", as_index=False)["s"].sum()
+
+    return ranks.map_batches(tag, batch_format="pandas").groupby(
+        "__bucket"
+    ).map_groups(merge_bucket, batch_format="pandas")
+
+
 def pagerank(triples, *, damping: float = 0.85, iters: int = 20,
-             num_partitions: int = 32, round_to: int | None = 8, cfg=None):
+             num_partitions: int = 32, round_to: int | None = 8, cfg=None,
+             copartition: bool | None = None, bucket_dir: str | None = None):
     """Damped PageRank over the distinct-edge view of a triple Dataset.
 
     Returns a Dataset of (entity, rank) with ranks summing to 1. Dangling
@@ -143,6 +191,13 @@ def pagerank(triples, *, damping: float = 0.85, iters: int = 20,
     on the driver (20 distributed rounds over a vocab-sized graph is all
     fixed overhead); the streaming join path engages above the gate and
     is parity-tested against a dense reference at 1e-9.
+
+    ``copartition`` (default auto): while the O(V) rank table fits the
+    broadcast cap, each iteration's join rides hash_join's map-side
+    broadcast tier (zero shuffle). Above the cap, the edge table is
+    bucketed ONCE by entity hash (``_copartition_edge_buckets``) and each
+    iteration shuffles only the rank table to its bucket — never the edge
+    table, 20×. Pass ``bucket_dir`` on a real cluster (shared storage).
     """
     from ..config import KGConfig
 
@@ -187,14 +242,30 @@ def pagerank(triples, *, damping: float = 0.85, iters: int = 20,
 
     ranks = _ranks_init(nodes, n).materialize()
 
+    if copartition is None:
+        from ..state.joins import _BROADCAST_MAX_BYTES, _meta_size_bytes
+
+        rb = _meta_size_bytes(ranks)
+        copartition = rb is not None and rb > _BROADCAST_MAX_BYTES
+    tag = None
+    if copartition:
+        import tempfile
+
+        bucket_dir = bucket_dir or tempfile.mkdtemp(prefix="raykg_pr_edges_")
+        tag = _copartition_edge_buckets(edges_deg, num_partitions, bucket_dir)
+
     for _ in range(iters):
-        contribs = partition_reduce(
-            hash_join(edges_deg, ranks, on="entity").map_batches(
+        if copartition:
+            joined = _copart_contribs(ranks, tag, bucket_dir)
+        else:
+            joined = hash_join(edges_deg, ranks, on="entity").map_batches(
                 lambda df: pd.DataFrame(
                     {"entity": df["dst"], "s": df["rank"] / df["out_deg"]}
                 ).groupby("entity", as_index=False)["s"].sum(),
                 batch_format="pandas",
-            ),
+            )
+        contribs = partition_reduce(
+            joined,
             ["entity"],
             lambda p: p.groupby("entity", as_index=False)["s"].sum(),
             num_partitions=num_partitions,

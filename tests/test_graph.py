@@ -78,22 +78,27 @@ class TestDegree:
 
 
 class TestPageRank:
-    @pytest.mark.parametrize("tier", ["driver", "distributed"])
+    @pytest.mark.parametrize("tier", ["driver", "distributed", "copartitioned"])
     def test_matches_dense_reference(self, triples, tier):
         import dataclasses
 
         from docprocai_service_ray.config import KGConfig
 
         cfg = KGConfig()
-        if tier == "distributed":
+        kw = {}
+        if tier in ("distributed", "copartitioned"):
             cfg = dataclasses.replace(cfg, driver_unionfind_max=0)
+        if tier == "copartitioned":
+            # force the bucketed-edge tier (ranks small enough to broadcast
+            # here, so auto would not engage it)
+            kw["copartition"] = True
         edges = _triples_df()[["subject_id", "object_id"]].drop_duplicates()
         edges.columns = ["src", "dst"]
         want = _dense_pagerank(edges, 0.85, 12)
         got = {
             r["entity"]: r["rank"]
             for r in pagerank(
-                triples, iters=12, round_to=None, cfg=cfg
+                triples, iters=12, round_to=None, cfg=cfg, **kw
             ).take_all()
         }
         assert set(got) == set(want)
