@@ -78,13 +78,34 @@ def reprocess_urls(
     (the pre-dedup ingest checkpoint) is intentionally left stale: once
     ``docs`` is DONE it is never re-read.
 
+    Atomicity across stages: the per-stage writes are individually atomic
+    but the CASCADE is not (a crash between the docs patch and the triples
+    rebuild leaves stage DONE rows that are mutually inconsistent) — so an
+    in-flight marker is written before the first patch and cleared after
+    the last; an interrupted cascade's urls are merged into the next
+    ``reprocess_urls`` call automatically, and ``run_kg(resume=True)``
+    refuses to resume over a pending marker.
+
     Returns the refreshed stage Datasets (same keys as ``run_kg``)."""
     import pyarrow.compute as pc
 
     from ..stages.triple_extract import build_triples_raw as _btr
-    from ..state.manifest import is_stage_done, stage_output_dir
+    from ..state.manifest import (
+        begin_inflight,
+        clear_inflight,
+        get_inflight,
+        is_stage_done,
+        stage_output_dir,
+    )
 
-    url_arr = pa.array(sorted(set(urls)), pa.string())
+    urls = set(urls)
+    pending = get_inflight(out_dir, "reprocess")
+    if pending:
+        # re-drive the half-applied cascade together with this request
+        urls |= set(pending.get("urls", []))
+    begin_inflight(out_dir, "reprocess", {"urls": sorted(urls)})
+
+    url_arr = pa.array(sorted(urls), pa.string())
     url_ref = ray.put(url_arr)
 
     def _drop_urls(t: pa.Table) -> pa.Table:
@@ -135,6 +156,7 @@ def reprocess_urls(
                 extra={"partitioned_by": "bucket", "reprocessed_urls": len(urls)},
                 write_kwargs={"partition_cols": ["bucket"]})
     out["triples"] = rd.read_parquet(stage_output_dir(out_dir, "triples"))
+    clear_inflight(out_dir, "reprocess")
     return out
 
 
@@ -183,7 +205,21 @@ def run_kg(
         return out
 
     # checkpointed mode: every stage materializes to Parquet + manifest row
-    # (resume granularity = stage). The HTML parse runs once into docs_raw;
+    # (resume granularity = stage). A pending reprocess marker means the
+    # per-stage DONE rows may be mutually inconsistent (half-applied
+    # cascade) — refuse to resume over it; finish via reprocess_urls([]).
+    if resume:
+        from ..state.manifest import get_inflight
+
+        pending = get_inflight(out_dir, "reprocess")
+        if pending:
+            raise RuntimeError(
+                f"out_dir {out_dir} has an interrupted reprocess cascade "
+                f"({len(pending.get('urls', []))} urls) — stage checkpoints "
+                "may be mutually inconsistent. Re-drive it with "
+                "reprocess_urls(..., urls=[]) or pass resume=False."
+            )
+    # The HTML parse runs once into docs_raw;
     # the url-dedup winners pass then reads only the (url, warc_ts, hash)
     # projection from Parquet instead of re-running extraction.
     if cfg.ingest_partitions > 0:

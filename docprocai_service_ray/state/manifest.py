@@ -198,6 +198,39 @@ def checkpointed_partitioned(
     return rd.read_parquet(stage_dir)
 
 
+def _inflight_path(out_dir: str, op: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"_inflight-{op}.json")
+
+
+def begin_inflight(out_dir: str, op: str, detail: dict | None = None) -> None:
+    """Mark a multi-stage mutation (e.g. a reprocess cascade) as in
+    flight BEFORE its first stage patch lands. Until :func:`clear_inflight`
+    runs, a resumed driver can see that per-stage DONE rows may be
+    mutually inconsistent (the reference's transactional-cascade analog:
+    stage renames are atomic individually, the cascade is not)."""
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    p = _inflight_path(out_dir, op)
+    row = {"op": op, "state": "IN_FLIGHT", **(detail or {})}
+    with open(p + ".tmp", "w") as f:
+        json.dump(row, f)
+    os.replace(p + ".tmp", p)
+
+
+def clear_inflight(out_dir: str, op: str) -> None:
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(_inflight_path(out_dir, op))
+
+
+def get_inflight(out_dir: str, op: str) -> dict | None:
+    """The pending marker for ``op``, or None if the last cascade
+    completed."""
+    try:
+        with open(_inflight_path(out_dir, op)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        return None
+
+
 def checkpointed(ds_fn, out_dir: str | None, stage: str, resume: bool = True):
     """Run ``ds_fn()`` → Dataset, materialized as a parquet checkpoint when
     ``out_dir`` is set; on resume, reuse a DONE stage's files instead of

@@ -88,3 +88,29 @@ def test_reprocess_is_idempotent(corpus_path, tmp_path):
     res = reprocess_urls(corpus_path, [victim], alias, cfg, out_dir=out)
     assert _table_rows(res["triples"], STAGES["triples"]) == baseline_triples
     assert _table_rows(res["docs"], STAGES["docs"]) == baseline_docs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interrupted_cascade_detected_and_redriven(corpus_path, tmp_path):
+    """ADVICE r2: a crash mid-cascade leaves an in-flight marker; resume
+    refuses, and the next reprocess call re-drives the pending urls."""
+    from docprocai_service_ray.state.manifest import begin_inflight, get_inflight
+
+    cfg = KGConfig()
+    alias = alias_dict_table(42, cfg.embedding_dim)
+    out_dir = str(tmp_path / "kg")
+    res = run_kg(corpus_path, alias, cfg, out_dir=out_dir)
+    victim = res["triples_raw"].take(1)[0]["url"]
+    before = _table_rows(res["triples"], STAGES["triples"])
+
+    # simulate a cascade that died after writing its marker
+    begin_inflight(out_dir, "reprocess", {"urls": [victim]})
+    with pytest.raises(RuntimeError, match="interrupted reprocess"):
+        run_kg(corpus_path, alias, cfg, out_dir=out_dir, resume=True)
+
+    # an empty reprocess call picks up the pending urls and completes
+    healed = reprocess_urls(corpus_path, [], alias, cfg, out_dir=out_dir)
+    assert get_inflight(out_dir, "reprocess") is None
+    assert _table_rows(healed["triples"], STAGES["triples"]) == before
+    # and resume works again
+    run_kg(corpus_path, alias, cfg, out_dir=out_dir, resume=True)
