@@ -266,9 +266,10 @@ def _read_media(n: int = 500):
 def _media_features(sf_dir: str):
     """Multimodal path over REAL FILES with REAL decode: valid PNG/BMP/WAV/
     AVI files read via ``ray.data.read_binary_files`` and decoded by the
-    pure-stdlib StdlibDecoder (actual pixels / PCM / container headers —
-    stages/multimodal.py, functions/mediacodec.py). Only codecs the stdlib
-    cannot reach (JPEG pixels, MP4 frames) remain stubbed."""
+    pure-numpy StdlibDecoder (actual pixels / PCM, incl. baseline JPEG via
+    functions/jpegcodec.py and MJPEG AVI frame decode — stages/
+    multimodal.py, functions/mediacodec.py). Only native-only codecs
+    (H.264/VP9) remain stubbed."""
     from docprocai_service_ray.stages.multimodal import (
         StdlibDecoder,
         extract_media_features,
@@ -302,6 +303,30 @@ def _media_thumbnails(sf_dir: str):
         )
 
     return thumbs.map_batches(digest, batch_format="pandas")
+
+
+def _media_frames(sf_dir: str):
+    """Video frame extraction (reference VideoProcessor.extract_frames
+    analog): demux MJPEG AVIs, decode every 2nd frame to pixels, re-encode
+    PNG; returns metadata + a content hash per frame (deterministic)."""
+    import hashlib
+
+    from docprocai_service_ray.stages.multimodal import sample_video_frames
+
+    frames = sample_video_frames(_read_media(500), every_k=2, batch_size=64)
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_id": df["media_id"],
+                "frame_idx": df["frame_idx"].astype("int32"),
+                "frame_w": df["frame_w"].astype("int32"),
+                "frame_h": df["frame_h"].astype("int32"),
+                "frame_md5": [hashlib.md5(b).hexdigest() for b in df["frame"]],
+            }
+        )
+
+    return frames.map_batches(digest, batch_format="pandas")
 
 
 def _sample_docs(sf_dir: str):
@@ -609,6 +634,7 @@ _GOLDEN_QUERIES = [
     "ngram_jaccard_dups",
     "media_features",
     "media_thumbnails",
+    "media_frames",
     # LSH ops are approximate BY DESIGN (recall measured vs brute force in
     # tests, not assumed) — no exact SQL can reproduce them; the golden
     # freeze pins their deterministic output instead
@@ -651,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ngram_jaccard_dups": _ngram_jaccard_dups,
             "media_features": _media_features,
             "media_thumbnails": _media_thumbnails,
+            "media_frames": _media_frames,
             "rolling_fingerprints": _rolling_fingerprints,
             "sample_docs": _sample_docs,
             "train_holdout_counts": _train_holdout_counts,

@@ -240,6 +240,33 @@ def avi_probe(data: bytes) -> tuple[int, int, int]:
     return int(w), int(h), int(total_frames)
 
 
+def avi_frames(data: bytes) -> list[bytes]:
+    """Video frame payloads from an AVI ``movi`` list: the ``..db``/``..dc``
+    stream chunks in order (for MJPEG streams each payload is one complete
+    JPEG — decode with functions/jpegcodec.jpeg_decode). The demux/
+    frame-extract analog of the reference's ffmpeg path
+    (fileextractlib/VideoProcessor.py:46-84), container-level only."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if cid == b"LIST":
+                ltype = data[body_start : body_start + 4]
+                if ltype in (b"movi", b"hdrl", b"strl", b"rec "):
+                    walk(body_start + 4, body_start + size)
+            elif cid[2:4] in (b"dc", b"db") and size > 0:
+                frames.append(data[body_start : body_start + size])
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(data))
+    return frames
+
+
 # ---------------------------------------------------------------- kernels
 
 def block_mean_resize(arr: np.ndarray, target_h: int, target_w: int) -> np.ndarray:

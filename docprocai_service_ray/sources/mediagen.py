@@ -1,12 +1,14 @@
-"""Deterministic REAL-media corpus: valid PNG / BMP / WAV / AVI files
-synthesized from a seed, written once under /tmp and read back with
+"""Deterministic REAL-media corpus: valid PNG / BMP / JPEG / WAV / AVI
+files synthesized from a seed, written once under /tmp and read back with
 ``ray.data.read_binary_files``.
 
 Unlike hash-fake payloads, these are genuinely decodable files — the
 StdlibDecoder pixel/PCM kernels run for real on them (images: seeded
-gradient + rectangle pattern; audio: two-tone sine mix; AVI: a valid RIFF
-container whose ``avih`` header carries real metadata around an empty
-``movi`` list — codec frames would need ffmpeg to produce).
+gradient + rectangle pattern; JPEG via the pure-numpy baseline codec in
+functions/jpegcodec.py; audio: two-tone sine mix; AVI: a valid RIFF
+container whose ``movi`` list carries real MJPEG frames — every frame is
+a complete baseline JPEG, so frame extraction + pixel decode run for
+real with zero native dependencies).
 """
 
 from __future__ import annotations
@@ -51,20 +53,31 @@ def gen_audio(seed: int, idx: int) -> tuple[np.ndarray, int]:
 
 
 def gen_avi(seed: int, idx: int) -> bytes:
-    """Minimal valid RIFF/AVI: hdrl list with a real ``avih`` main header
-    (width/height/frame count) + empty ``movi`` list."""
+    """Valid RIFF/AVI with a real ``avih`` main header AND real MJPEG
+    frames: the ``movi`` list carries 3-6 ``00dc`` chunks, each a complete
+    baseline JPEG of an evolving seeded pattern (functions/jpegcodec.py) —
+    demux + per-frame pixel decode are genuinely exercisable."""
+    from ..functions.jpegcodec import jpeg_encode
+
     rng = np.random.RandomState((seed * 3_000_003 + idx) & 0x7FFFFFFF)
-    w, h = int(rng.randint(160, 1920)), int(rng.randint(120, 1080))
-    frames = int(rng.randint(24, 2400))
+    n_frames = int(rng.randint(3, 7))
+    base = gen_image(seed, idx)
+    h, w = base.shape[:2]
+    movi = bytearray(b"movi")
+    for f in range(n_frames):
+        frame = np.roll(base, shift=f * 7, axis=1)  # simple motion
+        payload = jpeg_encode(frame, quality=85)
+        movi += b"00dc" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            movi += b"\x00"  # chunks are word-aligned
     avih = struct.pack(
-        "<IIIIIIIIII", 33367, 0, 0, 0x10, frames, 0, 1, 0, w, h
+        "<IIIIIIIIII", 33367, 0, 0, 0x10, n_frames, 0, 1, 0, w, h
     ) + b"\x00" * 16
     hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
-    movi = b"movi"
     riff_body = (
         b"AVI "
         + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
-        + b"LIST" + struct.pack("<I", len(movi)) + movi
+        + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
     )
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
@@ -74,13 +87,16 @@ def ensure_media_corpus(n: int, seed: int, root: str = "/tmp/raykg_mediagen") ->
     by (n, seed). Returns the directory to hand to read_media_files.
     The .done marker lives OUTSIDE the dir so read_binary_files never
     scans it."""
-    out = os.path.join(root, f"n{n}_s{seed}")
+    # v2: MJPEG frames + jpg kind (bump invalidates pre-jpeg caches)
+    out = os.path.join(root, f"v2_n{n}_s{seed}")
     done = out + ".done"
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
+    from ..functions.jpegcodec import jpeg_encode
+
     for i in range(n):
-        kind = i % 4
+        kind = i % 5
         if kind == 0:
             path = os.path.join(out, f"media-{i:05d}.png")
             payload = mc.png_encode(gen_image(seed, i))
@@ -88,6 +104,9 @@ def ensure_media_corpus(n: int, seed: int, root: str = "/tmp/raykg_mediagen") ->
             path = os.path.join(out, f"media-{i:05d}.bmp")
             payload = mc.bmp_encode(gen_image(seed, i))
         elif kind == 2:
+            path = os.path.join(out, f"media-{i:05d}.jpg")
+            payload = jpeg_encode(gen_image(seed, i), quality=88)
+        elif kind == 3:
             path = os.path.join(out, f"media-{i:05d}.wav")
             samples, rate = gen_audio(seed, i)
             payload = mc.wav_encode(samples, rate)

@@ -23,6 +23,8 @@ Shape (SURVEY.md §4.3 "canonicalization shuffle"):
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -218,8 +220,9 @@ def _components_distributed(edges_ds, surfaces_ds, cfg: KGConfig):
     def _min_label(part: pd.DataFrame) -> pd.DataFrame:
         return part.groupby("node", as_index=False).agg(label=("label", "min"))
 
+    logger = logging.getLogger(__name__)
     sig = _sig(labels)
-    for _ in range(cfg.max_unionfind_rounds):
+    for rnd in range(cfg.max_unionfind_rounds):
         nbr_labels = labels.map_batches(
             lambda t: pa.Table.from_pydict({"nbr": t["node"], "label": t["label"]}),
             batch_format="pyarrow",
@@ -251,6 +254,9 @@ def _components_distributed(edges_ds, surfaces_ds, cfg: KGConfig):
         new_sig = _sig(new_labels)
         labels = new_labels
         if new_sig == sig:
+            logger.info(
+                "min-label propagation converged in %d rounds", rnd + 1
+            )
             break
         sig = new_sig
     else:

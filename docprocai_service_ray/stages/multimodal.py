@@ -4,12 +4,14 @@ typed metadata, processed by actor-pool ``map_batches`` stages.
 The reference's media path (ffmpeg demux TranscriptGenerator.py:42-55,
 frame extraction VideoProcessor.py:46-84, thumbnail render
 PdfProcessor.py:34, JPEG encode DocProcAiService.py:123-124) needs native
-decoders. The default ``StdlibDecoder`` REALLY decodes the formats the
-stdlib can reach (functions/mediacodec.py): PNG and 24-bit BMP pixels,
-WAV PCM, JPEG/GIF header dimensions, AVI container headers. Codecs the
-stdlib cannot reach (JPEG pixels, MP4/MKV frames) stay behind
-``NotImplementedDecoder`` — swap in a PIL/ffmpeg-backed Decoder on a
-cluster that has them; the Ray plumbing is identical either way.
+decoders there. The default ``StdlibDecoder`` REALLY decodes with pure
+numpy/stdlib codecs: PNG and 24-bit BMP pixels (functions/mediacodec.py),
+baseline JPEG pixels (functions/jpegcodec.py — T.81 sequential, huffman +
+IDCT in numpy), WAV PCM, GIF header dimensions, and AVI demux with MJPEG
+per-frame pixel decode (movi ``..dc`` chunks → jpeg_decode). Codecs that
+genuinely need native libraries (MP4/H.264, MKV/VP9) stay behind
+``NotImplementedDecoder`` — swap in an ffmpeg-backed Decoder on a
+cluster that has one; the Ray plumbing is identical either way.
 ``DeterministicFakeDecoder`` (hash-derived metadata) remains for plumbing
 tests that want format-independent payloads.
 
@@ -37,14 +39,14 @@ class Decoder:
 
 
 class NotImplementedDecoder(Decoder):
-    """The native-decoder slot for codecs the stdlib cannot reach (JPEG
-    pixels, MP4/MKV/WebM frames). Installing PIL/ffmpeg and implementing
+    """The native-decoder slot for codecs pure Python cannot reasonably
+    reach (MP4/H.264, MKV/VP9, WebM). Installing ffmpeg and implementing
     ``decode`` here is the only change needed — the Ray plumbing stays
     as-is."""
 
     def decode(self, payload: bytes, kind: str):  # pragma: no cover - stub
         raise NotImplementedError(
-            "media decoding requires PIL/ffmpeg, not present in this container"
+            "H.264/VP9 decoding requires ffmpeg, not present in this container"
         )
 
 
@@ -52,15 +54,17 @@ class StdlibDecoder(Decoder):
     """REAL decode via pure-stdlib codecs (functions/mediacodec.py),
     dispatched on magic bytes (content sniffing beats the extension):
 
-    - PNG / 24-bit BMP → full pixel decode; feature = luminance histogram
-      of the actual pixels; n_frames = 1.
+    - PNG / 24-bit BMP / baseline JPEG → full pixel decode; feature =
+      luminance histogram of the actual pixels; n_frames = 1.
     - WAV → full PCM decode; feature = per-band RMS energy of the actual
       samples; (width, height) = (channels, sample rate); n_frames = PCM
       frame count (the duration-probe analog, SURVEY M8).
-    - JPEG / GIF → header-only dimensions (pixel decode needs native DCT /
-      LZW); feature = byte-value histogram, documented as header-tier.
-    - AVI → RIFF ``avih`` probe: (width, height, total_frames); codec
-      frames not decoded.
+    - GIF → header-only dimensions (LZW pixel decode not implemented);
+      feature = byte-value histogram, documented as header-tier.
+    - AVI → demux the ``movi`` list; MJPEG frames decode to PIXELS
+      (feature = mean luminance histogram over up to 3 sampled frames,
+      n_frames = real frame-chunk count); a frameless container falls
+      back to the ``avih`` metadata probe.
 
     Unknown payloads raise ValueError — garbage should fail loudly, not
     fake features."""
@@ -90,11 +94,28 @@ class StdlibDecoder(Decoder):
             feat = mc.audio_band_feature(samples, self.feature_dim)
             return samples.shape[1], rate, samples.shape[0], feat
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-            w, h, frames = mc.avi_probe(payload)
-            return w, h, frames, self._byte_hist(payload)
+            from ..functions.jpegcodec import jpeg_decode
+
+            frames = mc.avi_frames(payload)
+            jfs = [f for f in frames if f[:2] == b"\xff\xd8"]
+            if jfs:
+                # sample ≤3 frames evenly; average their pixel histograms
+                picks = jfs[:: max(1, len(jfs) // 3)][:3]
+                imgs = [jpeg_decode(f) for f in picks]
+                feat = np.mean(
+                    [mc.gray_histogram_feature(i, self.feature_dim) for i in imgs],
+                    axis=0,
+                ).astype(np.float32)
+                h, w = imgs[0].shape[:2]
+                return w, h, len(frames), feat
+            w, h, nf = mc.avi_probe(payload)
+            return w, h, nf, self._byte_hist(payload)
         if payload[:2] == b"\xff\xd8":
-            w, h = mc.jpeg_dims(payload)
-            return w, h, 1, self._byte_hist(payload)
+            from ..functions.jpegcodec import jpeg_decode
+
+            img = jpeg_decode(payload)
+            h, w = img.shape[:2]
+            return w, h, 1, mc.gray_histogram_feature(img, self.feature_dim)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             w, h = mc.gif_dims(payload)
             return w, h, 1, self._byte_hist(payload)
@@ -217,12 +238,13 @@ def read_media_files(paths, *, batch_size: int = 32):
 
 
 class ThumbnailRenderer:
-    """Actor-pool stage: decode image payloads (PNG / 24-bit BMP),
-    block-mean downsample to fit ``max_px``, re-encode as PNG — the
-    thumbnail-render + image-encode analog (reference renders page
+    """Actor-pool stage: decode image payloads (PNG / 24-bit BMP /
+    baseline JPEG) — and for MJPEG AVIs, the FIRST video frame (the
+    reference's video-thumbnail flow, VideoProcessor.py:46-84) —
+    block-mean downsample to fit ``max_px``, re-encode as PNG (the
+    thumbnail-render + image-encode analog; reference renders page
     thumbnails PdfProcessor.py:34 and JPEG-encodes them
-    DocProcAiService.py:123-124; PNG here because the stdlib has no DCT
-    encoder — swap the encode call for JPEG on a PIL cluster).
+    DocProcAiService.py:123-124).
 
     Output: (media_id, thumb, thumb_w, thumb_h) — payload dropped
     in-batch, thumbnails are ≤ max_px² so downstream rows are small."""
@@ -242,9 +264,21 @@ class ThumbnailRenderer:
                 img = mc.png_decode(payload)
             elif payload[:2] == b"BM":
                 img = mc.bmp_decode(payload)
+            elif payload[:2] == b"\xff\xd8":
+                from ..functions.jpegcodec import jpeg_decode
+
+                img = jpeg_decode(payload)
+            elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                from ..functions.jpegcodec import jpeg_decode
+
+                jfs = [f for f in mc.avi_frames(payload)
+                       if f[:2] == b"\xff\xd8"]
+                if not jfs:
+                    continue  # frameless container — no pixels to render
+                img = jpeg_decode(jfs[0])
             else:
                 continue  # non-image rows are SKIPPED: thumbnail output holds
-                # only (media_id, thumb, ...) rows for decodable images
+                # only (media_id, thumb, ...) rows for decodable payloads
             h, w = img.shape[:2]
             scale = max(h, w) / self.max_px
             th = max(1, int(round(h / scale))) if scale > 1 else h
@@ -290,6 +324,65 @@ def extract_media_features(ds, *, feature_dim: int = 16, batch_size: int = 32,
         },
         batch_format="pyarrow",
         batch_size=batch_size,  # MB-scale rows: keep batches small
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class FrameSampler:
+    """Actor-pool stage: AVI payload → every ``every_k``-th MJPEG frame
+    decoded to pixels and re-encoded as PNG rows (media_id, frame_idx,
+    frame_w, frame_h, frame) — the frame-extraction analog of the
+    reference's ``VideoProcessor.extract_frames`` (fileextractlib/
+    VideoProcessor.py:46-84, ffmpeg there, pure numpy here). Non-video
+    rows are skipped; the source payload is dropped in-batch so downstream
+    shuffles carry ≤ frame-sized rows only."""
+
+    def __init__(self, every_k: int = 2, id_col: str = "media_id",
+                 payload_col: str = "payload"):
+        self.every_k = max(1, every_k)
+        self.id_col, self.payload_col = id_col, payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.jpegcodec import jpeg_decode
+
+        ids, idxs, ws, hs, frames = [], [], [], [], []
+        for pid, payload in zip(
+            batch[self.id_col].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            payload = payload or b""
+            if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+                continue
+            for fi, fr in enumerate(mc.avi_frames(payload)):
+                if fi % self.every_k or fr[:2] != b"\xff\xd8":
+                    continue
+                img = jpeg_decode(fr)
+                h, w = img.shape[:2]
+                ids.append(pid)
+                idxs.append(fi)
+                ws.append(w)
+                hs.append(h)
+                frames.append(mc.png_encode(img))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.string()),
+                pa.array(idxs, pa.int32()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+                pa.array(frames, pa.binary()),
+            ],
+            names=["media_id", "frame_idx", "frame_w", "frame_h", "frame"],
+        )
+
+
+def sample_video_frames(ds, *, every_k: int = 2, batch_size: int = 16,
+                        concurrency: int = 2):
+    """binary media Dataset → sampled decoded video frames (PNG rows)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
     )

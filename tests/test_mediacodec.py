@@ -179,8 +179,117 @@ class TestRealMediaPipeline:
                 assert r["width"] > 0 and r["height"] > 0
 
         thumbs = render_thumbnails(read_media_files(d), max_px=16, concurrency=1).take_all()
-        assert len(thumbs) == 12  # the 12 image files (png + bmp)
+        # every pixel-bearing kind renders: png + bmp + jpg + avi first
+        # frame (5+5+5+4 of the 24 cycling files); only wav rows skip
+        assert len(thumbs) == 19
         for t in thumbs:
             assert max(t["thumb_w"], t["thumb_h"]) <= 16
             back = mc.png_decode(t["thumb"])  # thumbnails are valid PNGs
             assert back.shape[0] == t["thumb_h"] and back.shape[1] == t["thumb_w"]
+
+
+class TestJpegCodec:
+    """Pure-numpy baseline JPEG (functions/jpegcodec.py, T.81): lossy but
+    bounded round-trip error, exact dimensions, gray + color, odd sizes."""
+
+    def test_roundtrip_color_bounded_error(self):
+        from docprocai_service_ray.functions.jpegcodec import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        img = gen_image(11, 4)
+        enc = jpeg_encode(img, quality=90)
+        assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+        dec = jpeg_decode(enc)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.mean() < 4.0  # lossy, but must be a faithful decode
+
+    def test_roundtrip_gray_and_odd_dims(self):
+        from docprocai_service_ray.functions.jpegcodec import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        g = gen_image(3, 9)[:45, :61, 0]
+        dec = jpeg_decode(jpeg_encode(g, quality=92))
+        assert dec.shape == g.shape
+        assert np.abs(dec.astype(int) - g.astype(int)).mean() < 4.0
+
+    def test_header_dims_agree_with_decoder(self):
+        from docprocai_service_ray.functions.jpegcodec import jpeg_encode
+
+        img = gen_image(8, 8)
+        enc = jpeg_encode(img, quality=80)
+        assert mc.jpeg_dims(enc) == (img.shape[1], img.shape[0])
+
+    def test_deterministic(self):
+        from docprocai_service_ray.functions.jpegcodec import jpeg_encode
+
+        img = gen_image(6, 6)
+        assert jpeg_encode(img, 85) == jpeg_encode(img, 85)
+
+
+class TestAviFrames:
+    def test_mjpeg_demux_and_decode(self):
+        from docprocai_service_ray.functions.jpegcodec import jpeg_decode
+
+        avi = gen_avi(42, 1)
+        frames = mc.avi_frames(avi)
+        w, h, nf = mc.avi_probe(avi)
+        assert len(frames) == nf >= 3
+        img0 = jpeg_decode(frames[0])
+        assert img0.shape[:2] == (h, w)
+        # distinct frames: the synthetic pattern shifts per frame
+        img1 = jpeg_decode(frames[1])
+        assert not np.array_equal(img0, img1)
+
+    def test_decoder_uses_real_frame_pixels(self):
+        d = StdlibDecoder(16)
+        avi = gen_avi(9, 2)
+        w, h, nf, feat = d.decode(avi, "video")
+        pw, ph, pnf = mc.avi_probe(avi)
+        assert (w, h, nf) == (pw, ph, pnf)
+        # feature equals mean pixel histogram of sampled frames, not bytes
+        from docprocai_service_ray.functions.jpegcodec import jpeg_decode
+
+        jfs = mc.avi_frames(avi)
+        picks = jfs[:: max(1, len(jfs) // 3)][:3]
+        want = np.mean(
+            [mc.gray_histogram_feature(jpeg_decode(f), 16) for f in picks], axis=0
+        ).astype(np.float32)
+        assert np.allclose(feat, want)
+
+    def test_frame_sampler_stage(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from docprocai_service_ray.stages.multimodal import (
+            read_media_files,
+            sample_video_frames,
+        )
+
+        d = ensure_media_corpus(20, 77, root=str(tmp_path))
+        frames = sample_video_frames(
+            read_media_files(d), every_k=2, concurrency=1
+        ).take_all()
+        assert len(frames) > 0
+        for r in frames:
+            assert r["frame_idx"] % 2 == 0
+            img = mc.png_decode(r["frame"])
+            assert img.shape[:2] == (r["frame_h"], r["frame_w"])
+
+    def test_jpeg_thumbnails_render(self, ray_session, tmp_path):
+        from docprocai_service_ray.stages.multimodal import (
+            read_media_files,
+            render_thumbnails,
+        )
+
+        d = ensure_media_corpus(20, 78, root=str(tmp_path))
+        thumbs = render_thumbnails(
+            read_media_files(d), max_px=32, concurrency=1
+        ).take_all()
+        # png, bmp, jpg AND avi(first frame) rows all render: 4 of 5 kinds
+        assert len(thumbs) == 16
+        for t in thumbs:
+            assert max(t["thumb_w"], t["thumb_h"]) <= 32
