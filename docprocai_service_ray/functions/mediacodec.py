@@ -10,10 +10,13 @@ from this container. These are REAL decoders/encoders within format limits:
   self-produced images decode on the fast vectorized path.
 - BMP: full encode + decode (24-bit uncompressed bottom-up).
 - WAV: full PCM encode + decode via the stdlib ``wave`` module.
-- JPEG / GIF: header-only dimension parse (SOFn scan / logical screen
-  descriptor) — pixel decode genuinely needs a native DCT/LZW library.
-- AVI: RIFF ``avih`` header parse (width, height, total frames) — the
-  video-metadata probe analog; codec frames are not decoded.
+- JPEG: header dimension parse here; FULL baseline pixel decode/encode
+  lives in functions/jpegcodec.py (pure-numpy T.81).
+- GIF: header dims + full first-frame pixel decode (classic LZW,
+  interlace) and a minimal valid encoder for test fixtures.
+- AVI: RIFF ``avih`` header parse (width, height, total frames) AND
+  ``movi`` demux (``avi_frames``) — MJPEG frames decode to pixels via
+  jpegcodec.
 
 Everything is deterministic; decode(encode(x)) round-trips bit-exact for
 PNG/BMP/WAV and is covered by tests.
@@ -187,6 +190,173 @@ def gif_dims(data: bytes) -> tuple[int, int]:
         raise ValueError("not a GIF")
     w, h = struct.unpack("<HH", data[6:10])
     return int(w), int(h)
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → (H, W, 3) uint8 via classic GIF-LZW
+    (variable-width codes, clear/end codes, 4096-entry dictionary) +
+    palette lookup; interlaced images are deinterlaced. Pure Python/numpy
+    — completes the pixel-decode coverage for every image format the
+    media path dispatches (PNG/BMP/JPEG/GIF)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    global_palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_palette = np.frombuffer(
+            data[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += data[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _, _, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            palette = global_palette
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    data[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF image without a color table")
+            mcs = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                stream += data[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            indices = _gif_lzw(bytes(stream), mcs, w * h)
+            arr = np.asarray(indices, dtype=np.int64)[: w * h]
+            if len(arr) < w * h:  # tolerate short streams: pad with bg
+                arr = np.pad(arr, (0, w * h - len(arr)))
+            img = palette[np.clip(arr, 0, len(palette) - 1)].reshape(h, w, 3)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return img
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            pos += 1
+    raise ValueError("GIF contains no image data")
+
+
+def _gif_lzw(stream: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """Classic GIF-LZW decode of the concatenated data sub-blocks."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    dictionary: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    acc = 0
+    nbits = 0
+    prev: list[int] | None = None
+    for byte in stream:
+        acc |= byte << nbits  # GIF packs codes LSB-first
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                dictionary = [[i] for i in range(clear)] + [[], []]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = dictionary[code]
+            elif code < len(dictionary) and dictionary[code]:
+                entry = dictionary[code]
+                dictionary.append(prev + [entry[0]])
+            elif code == len(dictionary):
+                entry = prev + [prev[0]]
+                dictionary.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            prev = list(entry)
+            if len(dictionary) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            if len(out) >= max_pixels:
+                return out
+    return out
+
+
+def gif_encode(img_indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder (single frame, no interlace): palette-indexed
+    (H, W) uint8 + (N, 3) palette → GIF bytes. Used by tests to produce
+    REAL foreign GIFs for the decoder (LZW here emits 9-bit codes with a
+    clear after every 254 codes — valid, if not maximally compressed)."""
+    h, w = img_indices.shape
+    n = len(palette)
+    size_bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    n_pad = 1 << size_bits
+    pal = np.zeros((n_pad, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (size_bits - 1), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    mcs = max(2, size_bits)
+    clear = 1 << mcs
+    end = clear + 1
+    code_size = mcs + 1
+    acc = 0
+    nbits = 0
+    data = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    # emit CLEAR before the decoder's dictionary could grow past the
+    # initial code width (it adds one entry per code after the first
+    # following a clear): at most clear-2 literal codes between clears
+    # keeps every code exactly mcs+1 bits — valid, just uncompressed
+    emit(clear)
+    flat = img_indices.reshape(-1)
+    count = 0
+    for px in flat:
+        emit(int(px))
+        count += 1
+        if count >= clear - 2:
+            emit(clear)
+            count = 0
+    emit(end)
+    if nbits:
+        data.append(acc & 0xFF)
+    out += bytes([mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # --------------------------------------------------------------------- WAV

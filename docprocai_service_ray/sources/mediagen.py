@@ -1,5 +1,5 @@
-"""Deterministic REAL-media corpus: valid PNG / BMP / JPEG / WAV / AVI
-files synthesized from a seed, written once under /tmp and read back with
+"""Deterministic REAL-media corpus: valid PNG / BMP / JPEG / GIF / WAV /
+AVI files synthesized from a seed, written once under /tmp and read back with
 ``ray.data.read_binary_files``.
 
 Unlike hash-fake payloads, these are genuinely decodable files — the
@@ -87,8 +87,8 @@ def ensure_media_corpus(n: int, seed: int, root: str = "/tmp/raykg_mediagen") ->
     by (n, seed). Returns the directory to hand to read_media_files.
     The .done marker lives OUTSIDE the dir so read_binary_files never
     scans it."""
-    # v2: MJPEG frames + jpg kind (bump invalidates pre-jpeg caches)
-    out = os.path.join(root, f"v2_n{n}_s{seed}")
+    # v3: MJPEG frames + jpg + gif kinds (bump invalidates older caches)
+    out = os.path.join(root, f"v3_n{n}_s{seed}")
     done = out + ".done"
     if os.path.exists(done):
         return out
@@ -96,7 +96,7 @@ def ensure_media_corpus(n: int, seed: int, root: str = "/tmp/raykg_mediagen") ->
     from ..functions.jpegcodec import jpeg_encode
 
     for i in range(n):
-        kind = i % 5
+        kind = i % 6
         if kind == 0:
             path = os.path.join(out, f"media-{i:05d}.png")
             payload = mc.png_encode(gen_image(seed, i))
@@ -107,6 +107,12 @@ def ensure_media_corpus(n: int, seed: int, root: str = "/tmp/raykg_mediagen") ->
             path = os.path.join(out, f"media-{i:05d}.jpg")
             payload = jpeg_encode(gen_image(seed, i), quality=88)
         elif kind == 3:
+            path = os.path.join(out, f"media-{i:05d}.gif")
+            img = gen_image(seed, i)
+            idx = (img[:, :, 0] >> 4).astype(np.uint8)  # 16-level luminance
+            pal = np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8)
+            payload = mc.gif_encode(idx, pal)
+        elif kind == 4:
             path = os.path.join(out, f"media-{i:05d}.wav")
             samples, rate = gen_audio(seed, i)
             payload = mc.wav_encode(samples, rate)

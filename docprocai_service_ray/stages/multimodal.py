@@ -59,8 +59,8 @@ class StdlibDecoder(Decoder):
     - WAV → full PCM decode; feature = per-band RMS energy of the actual
       samples; (width, height) = (channels, sample rate); n_frames = PCM
       frame count (the duration-probe analog, SURVEY M8).
-    - GIF → header-only dimensions (LZW pixel decode not implemented);
-      feature = byte-value histogram, documented as header-tier.
+    - GIF → full first-frame pixel decode (classic LZW, pure Python);
+      feature = luminance histogram of the actual pixels.
     - AVI → demux the ``movi`` list; MJPEG frames decode to PIXELS
       (feature = mean luminance histogram over up to 3 sampled frames,
       n_frames = real frame-chunk count); a frameless container falls
@@ -117,8 +117,9 @@ class StdlibDecoder(Decoder):
             h, w = img.shape[:2]
             return w, h, 1, mc.gray_histogram_feature(img, self.feature_dim)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
-            w, h = mc.gif_dims(payload)
-            return w, h, 1, self._byte_hist(payload)
+            img = mc.gif_decode(payload)
+            h, w = img.shape[:2]
+            return w, h, 1, mc.gray_histogram_feature(img, self.feature_dim)
         raise ValueError(f"undecodable payload (kind={kind}, head={payload[:8]!r})")
 
 
@@ -264,6 +265,8 @@ class ThumbnailRenderer:
                 img = mc.png_decode(payload)
             elif payload[:2] == b"BM":
                 img = mc.bmp_decode(payload)
+            elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                img = mc.gif_decode(payload)
             elif payload[:2] == b"\xff\xd8":
                 from ..functions.jpegcodec import jpeg_decode
 

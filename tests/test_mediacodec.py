@@ -179,9 +179,9 @@ class TestRealMediaPipeline:
                 assert r["width"] > 0 and r["height"] > 0
 
         thumbs = render_thumbnails(read_media_files(d), max_px=16, concurrency=1).take_all()
-        # every pixel-bearing kind renders: png + bmp + jpg + avi first
-        # frame (5+5+5+4 of the 24 cycling files); only wav rows skip
-        assert len(thumbs) == 19
+        # every pixel-bearing kind renders: png + bmp + jpg + gif + avi
+        # first frame (4+4+4+4+4 of the 24 cycling files); only wav skips
+        assert len(thumbs) == 20
         for t in thumbs:
             assert max(t["thumb_w"], t["thumb_h"]) <= 16
             back = mc.png_decode(t["thumb"])  # thumbnails are valid PNGs
@@ -229,6 +229,27 @@ class TestJpegCodec:
 
         img = gen_image(6, 6)
         assert jpeg_encode(img, 85) == jpeg_encode(img, 85)
+
+
+class TestGifCodec:
+    def test_roundtrip_exact(self):
+        rng = np.random.RandomState(4)
+        pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+        idx = rng.randint(0, 8, (23, 31)).astype(np.uint8)
+        gif = mc.gif_encode(idx, pal)
+        assert mc.gif_dims(gif) == (31, 23)
+        assert np.array_equal(mc.gif_decode(gif), pal[idx])
+
+    def test_decoder_uses_real_gif_pixels(self):
+        img = gen_image(13, 13)
+        idx = (img[:, :, 0] >> 4).astype(np.uint8)
+        pal = np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8)
+        gif = mc.gif_encode(idx, pal)
+        d = StdlibDecoder(16)
+        w, h, nf, feat = d.decode(gif, "image")
+        assert (w, h, nf) == (img.shape[1], img.shape[0], 1)
+        want = mc.gray_histogram_feature(pal[idx], 16)
+        assert np.allclose(feat, want)
 
 
 class TestAviFrames:
@@ -289,7 +310,8 @@ class TestAviFrames:
         thumbs = render_thumbnails(
             read_media_files(d), max_px=32, concurrency=1
         ).take_all()
-        # png, bmp, jpg AND avi(first frame) rows all render: 4 of 5 kinds
-        assert len(thumbs) == 16
+        # png(4) + bmp(4) + jpg(3) + gif(3) + avi first frame(3) render;
+        # only the 3 wav rows skip
+        assert len(thumbs) == 17
         for t in thumbs:
             assert max(t["thumb_w"], t["thumb_h"]) <= 32
