@@ -382,6 +382,19 @@ def _value_quantiles(sf_dir: str):
     return grouped_quantiles(ds, "event_type", "value", [0.25, 0.5, 0.9])
 
 
+def _value_quantiles_sketch(sf_dir: str):
+    """Same grouped quantiles via the MERGEABLE centroid-digest tier
+    (stages/quantiles.grouped_quantiles_sketch): shuffles O(groups x
+    delta) centroids instead of co-locating groups — the corpus-scale
+    path, deterministic at any parallelism (golden-frozen; its ~2/delta
+    rank-error bound vs exact is asserted in tests/test_sampling.py)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.quantiles import grouped_quantiles_sketch
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles_sketch(ds, "event_type", "value", [0.25, 0.5, 0.9])
+
+
 def _token_doc_frequency(sf_dir: str):
     """Inverted-index df stats over the documents table (tokens appearing
     in >= 5 docs)."""
@@ -644,6 +657,9 @@ _GOLDEN_QUERIES = [
     # iterative float fixpoint — no exact SQL; verified vs dense numpy in
     # tests/test_graph.py, frozen rounded to 8dp
     "pagerank_entities",
+    # mergeable-sketch tier: approximate BY DESIGN (error bound asserted
+    # in tests vs the exact tier); golden pins its determinism
+    "value_quantiles_sketch",
 ]
 
 
@@ -686,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "entity_degree": _entity_degree,
             "pagerank_entities": _pagerank_entities,
             "khop_neighborhood": _khop_neighborhood,
+            "value_quantiles_sketch": _value_quantiles_sketch,
             "graph_components": _graph_components,
         }
     )

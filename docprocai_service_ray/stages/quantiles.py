@@ -98,7 +98,11 @@ def grouped_quantiles_sketch(ds, by: str, value_col: str, qs: list[float], *,
         return pd.DataFrame({by: pd.Series(keys, dtype=df[by].dtype),
                              "payload": pd.Series(payloads, dtype=object)})
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    # fixed batch size: partial sketches depend on batch boundaries, so an
+    # explicit size keeps the output reproducible across parallelism /
+    # cluster shapes (the merge itself is arrival-order-free: centroids
+    # are lexsorted before re-compression)
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
 
     def reduce(part: pd.DataFrame) -> pd.DataFrame:
         rows = []

@@ -82,3 +82,44 @@ def test_extraction_html_wrapper_roundtrip(lines, data):
             "".join(f"<p>{l}</p>" for l in clean) +
             "<footer>skip</footer></body></html>").encode()
     assert extract_text(html).split("\n") == (clean if clean else [""])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(4, 40), st.integers(4, 40), st.integers(0, 10_000),
+    st.sampled_from([60, 80, 95]),
+)
+def test_jpeg_roundtrip_bounded_error_any_shape(h, w, seed, quality):
+    """Arbitrary-sized random images survive the JPEG round trip with
+    bounded error and exact dimensions (functions/jpegcodec.py)."""
+    import numpy as np
+
+    from docprocai_service_ray.functions.jpegcodec import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(seed)
+    # smooth field (JPEG's design domain) + a hard edge
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 255 // max(w - 1, 1)), (yy * 255 // max(h - 1, 1)),
+         ((xx + yy) * 127 // max(h + w - 2, 1))], axis=-1,
+    ).astype(np.uint8)
+    img[: h // 2, : w // 2] = rng.randint(0, 256, 3)
+    dec = jpeg_decode(jpeg_encode(img, quality=quality))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert err < (18 if quality == 60 else 10)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 30), st.integers(1, 30), st.integers(0, 10_000),
+       st.integers(2, 32))
+def test_gif_roundtrip_exact_any_shape(h, w, seed, ncolors):
+    """GIF is lossless on palette images: exact pixels at any size/palette."""
+    import numpy as np
+
+    from docprocai_service_ray.functions import mediacodec as mc
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncolors, 3)).astype(np.uint8)
+    idx = rng.randint(0, ncolors, (h, w)).astype(np.uint8)
+    assert np.array_equal(mc.gif_decode(mc.gif_encode(idx, pal)), pal[idx])
