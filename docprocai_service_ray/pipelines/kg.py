@@ -142,6 +142,15 @@ def reprocess_urls(
         out["sentence_embeddings"] = _patch(
             "sentence_embeddings", build_sentence_embeddings(sentences_new, cfg)
         )
+    if is_stage_done(out_dir, "doc_summaries"):
+        # per-record derived table: a url's digest depends only on its own
+        # sentences/triples, so the patch shape applies
+        from ..stages.summarize import build_doc_summaries
+
+        out["doc_summaries"] = _patch(
+            "doc_summaries",
+            build_doc_summaries(sentences_new, triples_raw_new, cfg),
+        )
     alias_ref = ray.put(alias_table)
     if is_stage_done(out_dir, "mentions"):
         out["mentions"] = _patch("mentions", build_mentions(triples_raw_new, alias_ref, cfg))
@@ -168,6 +177,7 @@ def run_kg(
     resume: bool = True,
     with_mentions: bool = False,
     with_sentence_embeddings: bool = False,
+    with_doc_summaries: bool = False,
 ) -> dict:
     """Run the full pipeline; returns dict of stage Datasets.
 
@@ -196,6 +206,10 @@ def run_kg(
             out["sentence_embeddings"] = build_sentence_embeddings(sentences, cfg)
         if with_mentions:
             out["mentions"] = build_mentions(triples_raw, alias_ref, cfg)
+        if with_doc_summaries:
+            from ..stages.summarize import build_doc_summaries
+
+            out["doc_summaries"] = build_doc_summaries(sentences, triples_raw, cfg)
         entity_map = build_entity_map(triples_raw, alias_ref, cfg)
         out["entity_map"] = entity_map
         # auto-tiered: broadcast dict under cfg.emap_broadcast_max_bytes,
@@ -273,6 +287,18 @@ def run_kg(
             lambda: build_mentions(triples_raw, alias_ref, cfg),
             out_dir,
             "mentions",
+            resume,
+        )
+
+    if with_doc_summaries:
+        # per-doc digest table (doc_info analog: reference
+        # MediaRecordInfoDbConnector.py:16-24 summary/tags columns)
+        from ..stages.summarize import build_doc_summaries
+
+        out["doc_summaries"] = checkpointed(
+            lambda: build_doc_summaries(sentences, triples_raw, cfg),
+            out_dir,
+            "doc_summaries",
             resume,
         )
 

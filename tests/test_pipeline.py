@@ -181,3 +181,28 @@ def test_doc_summaries_match_oracle(kg_result, oracle_result):
         for r in oracle_result["doc_summaries"]
     }
     assert got == want and len(want) > 50
+
+
+def test_run_kg_with_doc_summaries_stage(corpus_path, oracle_result, tmp_path):
+    """with_doc_summaries=True lands a checkpointed doc_summaries table
+    equal to the scalar oracle (the reference doc_info summary/tags
+    columns as a first-class stage)."""
+    from docprocai_service_ray.config import KGConfig
+    from docprocai_service_ray.pipelines.kg import run_kg
+    from docprocai_service_ray.sources.webgen import alias_dict_table
+    from docprocai_service_ray.state.manifest import is_stage_done
+
+    cfg = KGConfig()
+    out_dir = str(tmp_path / "kg")
+    res = run_kg(corpus_path, alias_dict_table(42, cfg.embedding_dim), cfg,
+                 out_dir=out_dir, with_doc_summaries=True)
+    assert is_stage_done(out_dir, "doc_summaries")
+    got = {
+        r["url"]: (r["summary"], r["top_entities"], r["n_triples"])
+        for r in res["doc_summaries"].take_all()
+    }
+    want = {
+        r["url"]: (r["summary"], r["top_entities"], r["n_triples"])
+        for r in oracle_result["doc_summaries"]
+    }
+    assert got == want
