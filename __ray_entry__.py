@@ -395,6 +395,30 @@ def _value_quantiles_sketch(sf_dir: str):
     return grouped_quantiles_sketch(ds, "event_type", "value", [0.25, 0.5, 0.9])
 
 
+def _distinct_users_by_type(sf_dir: str):
+    """Exact per-event-type distinct user counts — per-batch local dedup
+    then one hash exchange (matches DuckDB COUNT(DISTINCT ...))."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.distinct import grouped_distinct
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_distinct(ds, "event_type", "user_id")
+
+
+def _distinct_users_sketch(sf_dir: str):
+    """Same counts via the MERGEABLE HyperLogLog tier
+    (stages/distinct.grouped_distinct_sketch): O(groups x 2^p) register
+    bytes shuffle, values never do — the corpus-scale path. Deterministic
+    at ANY parallelism and arrival order (register merge is elementwise
+    max), so golden-frozen; the ~1.6% (p=12) error bound vs exact is
+    asserted in tests/test_distinct.py at 20k+ cardinality."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.distinct import grouped_distinct_sketch
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_distinct_sketch(ds, "event_type", "user_id")
+
+
 def _token_doc_frequency(sf_dir: str):
     """Inverted-index df stats over the documents table (tokens appearing
     in >= 5 docs)."""
@@ -660,6 +684,7 @@ _GOLDEN_QUERIES = [
     # mergeable-sketch tier: approximate BY DESIGN (error bound asserted
     # in tests vs the exact tier); golden pins its determinism
     "value_quantiles_sketch",
+    "distinct_users_sketch",
 ]
 
 
@@ -703,6 +728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pagerank_entities": _pagerank_entities,
             "khop_neighborhood": _khop_neighborhood,
             "value_quantiles_sketch": _value_quantiles_sketch,
+            "distinct_users_by_type": _distinct_users_by_type,
+            "distinct_users_sketch": _distinct_users_sketch,
             "graph_components": _graph_components,
         }
     )
@@ -719,6 +746,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["value_quantiles"] = quantile_sql("events", "event_type", "value", [0.25, 0.5, 0.9])
     sql["token_doc_frequency"] = _TOKEN_DF_SQL
+    sql["distinct_users_by_type"] = (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct "
+        "FROM events GROUP BY event_type"
+    )
     sql.update(_graph_sql())
     sql.update(_golden_sql())
     return sql

@@ -1,0 +1,145 @@
+"""Grouped distinct counts: exact tier + mergeable HyperLogLog sketch.
+
+Cardinality-per-group is the other aggregate family (beside quantiles)
+whose exact form needs a group's values co-located; at corpus scale the
+mergeable sketch is the standard answer (Flajolet et al., "HyperLogLog:
+the analysis of a near-optimal cardinality estimation algorithm", AofA
+2007; small-range linear-counting correction per Heule et al.,
+"HyperLogLog in Practice", EDBT 2013).
+
+- Exact tier (`grouped_distinct`): per-batch LOCAL dedup first (a head
+  group's repeated values leave each batch once), then one
+  ``partition_reduce`` nunique — SQL-oracle-checked against
+  ``COUNT(DISTINCT ...)``.
+- Sketch tier (`grouped_distinct_sketch`): per batch per group a
+  2^p-register HLL built fully vectorized (one
+  ``pd.util.hash_pandas_object`` pass — the same process-stable uint64
+  hash the partitioners use — then ``np.maximum.at`` over registers);
+  partials merge associatively per group by elementwise register max, so
+  the exchange moves O(groups × 2^p) bytes however large the groups are.
+  Standard error ≈ 1.04/√2^p (p=12 → ~1.6%). Deterministic at any
+  parallelism and arrival order (max is commutative — no batch-boundary
+  sensitivity at all, unlike the quantile sketch).
+- `grouped_distinct_auto` gates the tiers on a metadata-only size
+  estimate, mirroring `grouped_quantiles_auto`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_registers(values: pd.Series, p: int) -> np.ndarray:
+    """Vectorized register build for one group's values."""
+    m = 1 << p
+    h = pd.util.hash_pandas_object(
+        values.astype(str), index=False
+    ).to_numpy(dtype=np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rank = leading zeros of `rest` within 64-p bits, + 1 (capped)
+    # bit_length via log2 is unsafe at 64 bits; use a float-free loop over
+    # bit positions? No — np.errstate-safe: count leading zeros by
+    # comparing against descending powers of two, vectorized in one pass:
+    lz = np.full(len(h), 64 - p, dtype=np.int64)
+    nz = rest != 0
+    if nz.any():
+        r = rest[nz]
+        # floor(log2) on uint64 via float64 is exact for the TOP bit
+        # position (we only need the highest set bit's index)
+        top = np.zeros(len(r), dtype=np.int64)
+        hi = (r >> np.uint64(32)).astype(np.uint32)
+        lo = r.astype(np.uint32)
+        use_hi = hi != 0
+        top[use_hi] = 32 + np.frexp(hi[use_hi].astype(np.float64))[1] - 1
+        top[~use_hi] = np.frexp(lo[~use_hi].astype(np.float64))[1] - 1
+        lz[nz] = 63 - top
+    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    m = len(regs)
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting (small range)
+    return int(round(est))
+
+
+def grouped_distinct(ds, by: str, value_col: str, *, num_partitions: int = 16):
+    """→ (by, n_distinct) EXACT. Per-batch local dedup defuses in-batch
+    repetition before the single hash exchange."""
+    from ..state.groupby import partition_reduce
+
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[by, value_col]].drop_duplicates()
+
+    deduped = ds.map_batches(local_dedup, batch_format="pandas")
+
+    def reduce(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby(by, as_index=False)[value_col].nunique()
+        out.columns = [by, "n_distinct"]
+        return out
+
+    return partition_reduce(deduped, [by], reduce, num_partitions=num_partitions)
+
+
+def grouped_distinct_sketch(ds, by: str, value_col: str, *, precision: int = 12,
+                            num_partitions: int = 16):
+    """→ (by, n_distinct) approximate (±1.04/√2^p). Registers shuffle,
+    values never do."""
+    from ..state.groupby import partition_reduce
+
+    p = precision
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys, payloads = [], []
+        for key, g in df.groupby(by, sort=False):
+            keys.append(key)
+            payloads.append(_hll_registers(g[value_col], p).tobytes())
+        return pd.DataFrame({by: pd.Series(keys, dtype=df[by].dtype),
+                             "regs": pd.Series(payloads, dtype=object)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def reduce(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in part.groupby(by, sort=False):
+            merged = np.zeros(1 << p, dtype=np.uint8)
+            for payload in g["regs"]:
+                merged = np.maximum(merged, np.frombuffer(payload, dtype=np.uint8))
+            rows.append({by: key, "n_distinct": np.int64(_hll_estimate(merged))})
+        if not rows:
+            return pd.DataFrame({by: pd.Series(dtype=object),
+                                 "n_distinct": pd.Series(dtype="int64")})
+        return pd.DataFrame(rows)
+
+    return partition_reduce(partials, [by], reduce, num_partitions=num_partitions)
+
+
+def grouped_distinct_auto(ds, by: str, value_col: str, *,
+                          exact_max_bytes: int = 512 << 20,
+                          precision: int = 12, num_partitions: int = 16):
+    """Exact while the metadata-only size estimate says groups co-locate
+    comfortably; HLL above."""
+    from ..state.joins import _meta_size_bytes
+
+    sz = _meta_size_bytes(ds)
+    if sz is not None and sz <= exact_max_bytes:
+        return grouped_distinct(ds, by, value_col, num_partitions=num_partitions)
+    return grouped_distinct_sketch(ds, by, value_col, precision=precision,
+                                   num_partitions=num_partitions)
