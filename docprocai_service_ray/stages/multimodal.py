@@ -7,11 +7,13 @@ PdfProcessor.py:34, JPEG encode DocProcAiService.py:123-124) needs native
 decoders there. The default ``StdlibDecoder`` REALLY decodes with pure
 numpy/stdlib codecs: PNG and 24-bit BMP pixels (functions/mediacodec.py),
 baseline JPEG pixels (functions/jpegcodec.py — T.81 sequential, huffman +
-IDCT in numpy), WAV PCM, GIF header dimensions, and AVI demux with MJPEG
-per-frame pixel decode (movi ``..dc`` chunks → jpeg_decode). Codecs that
-genuinely need native libraries (MP4/H.264, MKV/VP9) stay behind
-``NotImplementedDecoder`` — swap in an ffmpeg-backed Decoder on a
-cluster that has one; the Ray plumbing is identical either way.
+IDCT in numpy), WAV PCM, GIF header dimensions, AVI demux with MJPEG
+per-frame pixel decode (movi ``..dc`` chunks → jpeg_decode), and MP4
+demux via a real ISO-BMFF sample-table walk (stsd/stsz/stsc/stco →
+``mp4_frames``) with MJPEG-track pixel decode. Only the compressed-video
+CODEC layer (H.264, VP9) stays behind ``NotImplementedDecoder`` — swap
+in an ffmpeg-backed Decoder on a cluster that has one; the Ray plumbing
+is identical either way.
 ``DeterministicFakeDecoder`` (hash-derived metadata) remains for plumbing
 tests that want format-independent payloads.
 
@@ -39,8 +41,9 @@ class Decoder:
 
 
 class NotImplementedDecoder(Decoder):
-    """The native-decoder slot for codecs pure Python cannot reasonably
-    reach (MP4/H.264, MKV/VP9, WebM). Installing ffmpeg and implementing
+    """The native-decoder slot for compressed-video CODECS pure Python
+    cannot reasonably reach (H.264, VP9 — container demux for MP4/AVI is
+    already real in mediacodec). Installing ffmpeg and implementing
     ``decode`` here is the only change needed — the Ray plumbing stays
     as-is."""
 
@@ -65,6 +68,9 @@ class StdlibDecoder(Decoder):
       (feature = mean luminance histogram over up to 3 sampled frames,
       n_frames = real frame-chunk count); a frameless container falls
       back to the ``avih`` metadata probe.
+    - MP4 → ISO-BMFF sample-table demux (mediacodec.mp4_frames); MJPEG
+      ('jpeg') tracks decode to pixels exactly like AVI; compressed-codec
+      tracks fall back to the container probe (sample count + stsd dims).
 
     Unknown payloads raise ValueError — garbage should fail loudly, not
     fake features."""
@@ -109,6 +115,22 @@ class StdlibDecoder(Decoder):
                 h, w = imgs[0].shape[:2]
                 return w, h, len(frames), feat
             w, h, nf = mc.avi_probe(payload)
+            return w, h, nf, self._byte_hist(payload)
+        if payload[4:8] == b"ftyp":
+            from ..functions.jpegcodec import jpeg_decode
+
+            frames = mc.mp4_frames(payload)
+            jfs = [f for f in frames if f[:2] == b"\xff\xd8"]
+            if jfs:
+                picks = jfs[:: max(1, len(jfs) // 3)][:3]
+                imgs = [jpeg_decode(f) for f in picks]
+                feat = np.mean(
+                    [mc.gray_histogram_feature(i, self.feature_dim) for i in imgs],
+                    axis=0,
+                ).astype(np.float32)
+                h, w = imgs[0].shape[:2]
+                return w, h, len(frames), feat
+            w, h, nf, _codec = mc.mp4_probe(payload)
             return w, h, nf, self._byte_hist(payload)
         if payload[:2] == b"\xff\xd8":
             from ..functions.jpegcodec import jpeg_decode
@@ -240,7 +262,7 @@ def read_media_files(paths, *, batch_size: int = 32):
 
 class ThumbnailRenderer:
     """Actor-pool stage: decode image payloads (PNG / 24-bit BMP /
-    baseline JPEG) — and for MJPEG AVIs, the FIRST video frame (the
+    baseline JPEG) — and for MJPEG AVIs/MP4s, the FIRST video frame (the
     reference's video-thumbnail flow, VideoProcessor.py:46-84) —
     block-mean downsample to fit ``max_px``, re-encode as PNG (the
     thumbnail-render + image-encode analog; reference renders page
@@ -271,11 +293,17 @@ class ThumbnailRenderer:
                 from ..functions.jpegcodec import jpeg_decode
 
                 img = jpeg_decode(payload)
-            elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            elif (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ") or (
+                payload[4:8] == b"ftyp"
+            ):
                 from ..functions.jpegcodec import jpeg_decode
 
-                jfs = [f for f in mc.avi_frames(payload)
-                       if f[:2] == b"\xff\xd8"]
+                frames = (
+                    mc.avi_frames(payload)
+                    if payload[:4] == b"RIFF"
+                    else mc.mp4_frames(payload)
+                )
+                jfs = [f for f in frames if f[:2] == b"\xff\xd8"]
                 if not jfs:
                     continue  # frameless container — no pixels to render
                 img = jpeg_decode(jfs[0])
@@ -333,7 +361,7 @@ def extract_media_features(ds, *, feature_dim: int = 16, batch_size: int = 32,
 
 
 class FrameSampler:
-    """Actor-pool stage: AVI payload → every ``every_k``-th MJPEG frame
+    """Actor-pool stage: AVI or MP4 payload → every ``every_k``-th MJPEG frame
     decoded to pixels and re-encoded as PNG rows (media_id, frame_idx,
     frame_w, frame_h, frame) — the frame-extraction analog of the
     reference's ``VideoProcessor.extract_frames`` (fileextractlib/
@@ -354,9 +382,13 @@ class FrameSampler:
             batch[self.id_col].to_pylist(), batch[self.payload_col].to_pylist()
         ):
             payload = payload or b""
-            if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                container_frames = mc.avi_frames(payload)
+            elif payload[4:8] == b"ftyp":
+                container_frames = mc.mp4_frames(payload)
+            else:
                 continue
-            for fi, fr in enumerate(mc.avi_frames(payload)):
+            for fi, fr in enumerate(container_frames):
                 if fi % self.every_k or fr[:2] != b"\xff\xd8":
                     continue
                 img = jpeg_decode(fr)

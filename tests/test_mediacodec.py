@@ -11,10 +11,13 @@ import pytest
 
 from docprocai_service_ray.functions import mediacodec as mc
 from docprocai_service_ray.sources.mediagen import (
+    _bmff_box,
+    _bmff_full,
     ensure_media_corpus,
     gen_audio,
     gen_avi,
     gen_image,
+    gen_mp4,
 )
 from docprocai_service_ray.stages.multimodal import StdlibDecoder
 
@@ -179,9 +182,9 @@ class TestRealMediaPipeline:
                 assert r["width"] > 0 and r["height"] > 0
 
         thumbs = render_thumbnails(read_media_files(d), max_px=16, concurrency=1).take_all()
-        # every pixel-bearing kind renders: png + bmp + jpg + gif + avi
-        # first frame (4+4+4+4+4 of the 24 cycling files); only wav skips
-        assert len(thumbs) == 20
+        # every pixel-bearing kind renders: png + bmp + jpg + gif + avi/mp4
+        # first frame (4+4+4+3+3+3 of the 24 cycling files); only wav skips
+        assert len(thumbs) == 21
         for t in thumbs:
             assert max(t["thumb_w"], t["thumb_h"]) <= 16
             back = mc.png_decode(t["thumb"])  # thumbnails are valid PNGs
@@ -310,8 +313,82 @@ class TestAviFrames:
         thumbs = render_thumbnails(
             read_media_files(d), max_px=32, concurrency=1
         ).take_all()
-        # png(4) + bmp(4) + jpg(3) + gif(3) + avi first frame(3) render;
-        # only the 3 wav rows skip
+        # of 20 cycling files only the 3 wav rows skip: png(3) + bmp(3) +
+        # jpg(3) + gif(3) + wav(3, skipped) + avi(3) + mp4(2) first frames
         assert len(thumbs) == 17
         for t in thumbs:
             assert max(t["thumb_w"], t["thumb_h"]) <= 32
+
+
+class TestMp4Frames:
+    """ISO-BMFF sample-table demux (mediacodec.mp4_frames/mp4_probe)."""
+
+    def test_mjpeg_demux_and_decode(self):
+        from docprocai_service_ray.functions.jpegcodec import jpeg_decode
+
+        p = gen_mp4(42, 1)
+        w, h, nf, codec = mc.mp4_probe(p)
+        frames = mc.mp4_frames(p)
+        assert codec == b"jpeg" and len(frames) == nf >= 3
+        img0 = jpeg_decode(frames[0])
+        assert img0.shape[:2] == (h, w)
+        img1 = jpeg_decode(frames[1])
+        assert not np.array_equal(img0, img1)  # pattern shifts per frame
+
+    def test_multi_chunk_and_moov_first_layout(self):
+        """The parser must follow stsc runs across multiple chunks and must
+        not assume mdat precedes moov (our generator's layout)."""
+        samples = [bytes([i]) * (10 + i) for i in range(5)]
+        # chunks: [s0, s1], [s2, s3], [s4] — two stsc runs
+        chunks = [samples[0] + samples[1], samples[2] + samples[3], samples[4]]
+        entry_body = (
+            b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+            + struct.pack(">HH", 8, 8) + struct.pack(">II", 0, 0)
+            + b"\x00" * 4 + struct.pack(">H", 1) + b"\x00" * 32
+            + struct.pack(">Hh", 24, -1)
+        )
+        stsd = _bmff_full(b"stsd", 0, 0, struct.pack(">I", 1)
+                          + _bmff_box(b"raw ", entry_body))
+        stsc = _bmff_full(b"stsc", 0, 0, struct.pack(">I", 2)
+                          + struct.pack(">III", 1, 2, 1)
+                          + struct.pack(">III", 3, 1, 1))
+        stsz = _bmff_full(b"stsz", 0, 0, struct.pack(">II", 0, 5)
+                          + b"".join(struct.pack(">I", len(s)) for s in samples))
+        ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 512))
+        # moov size depends on stco which depends only on counts — build
+        # with placeholder offsets first to learn the moov length
+        def build(offsets):
+            stco = _bmff_full(b"stco", 0, 0, struct.pack(">I", 3)
+                              + b"".join(struct.pack(">I", o) for o in offsets))
+            stbl = _bmff_box(b"stbl", stsd + stsc + stsz + stco)
+            hdlr = _bmff_full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide"
+                              + b"\x00" * 12 + b"X\x00")
+            minf = _bmff_box(b"minf", stbl)
+            mdia = _bmff_box(b"mdia", hdlr + minf)
+            trak = _bmff_box(b"trak", mdia)
+            return _bmff_box(b"moov", trak)
+        moov_len = len(build([0, 0, 0]))
+        base = len(ftyp) + moov_len + 8  # mdat body starts here
+        offs = [base, base + len(chunks[0]), base + len(chunks[0]) + len(chunks[1])]
+        data = ftyp + build(offs) + _bmff_box(b"mdat", b"".join(chunks))
+        assert mc.mp4_frames(data) == samples
+        assert mc.mp4_probe(data) == (8, 8, 5, b"raw ")
+
+    def test_decoder_and_stages_handle_mp4(self):
+        d = StdlibDecoder(16)
+        p = gen_mp4(7, 3)
+        w, h, nf, feat = d.decode(p, "video")
+        pw, ph, pnf, _codec = mc.mp4_probe(p)
+        assert (w, h, nf) == (pw, ph, pnf)
+        from docprocai_service_ray.functions.jpegcodec import jpeg_decode
+
+        jfs = mc.mp4_frames(p)
+        picks = jfs[:: max(1, len(jfs) // 3)][:3]
+        want = np.mean(
+            [mc.gray_histogram_feature(jpeg_decode(f), 16) for f in picks], axis=0
+        ).astype(np.float32)
+        assert np.allclose(feat, want)
+
+    def test_garbage_rejected(self):
+        with pytest.raises(ValueError):
+            mc.mp4_probe(b"\x00" * 32)
