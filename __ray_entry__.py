@@ -419,6 +419,18 @@ def _distinct_users_sketch(sf_dir: str):
     return grouped_distinct_sketch(ds, "event_type", "user_id")
 
 
+def _top_users_by_type(sf_dir: str):
+    """Per-event-type top-3 most-active users (grouped heavy hitters,
+    EXACT tier: per-batch count partials → one hash exchange → rank;
+    stages/topfreq.py — the MG sketch tier is the corpus-scale path,
+    bounded in tests/test_topfreq.py)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.topfreq import grouped_topn_values
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_topn_values(ds, "event_type", "user_id", 3)
+
+
 def _token_doc_frequency(sf_dir: str):
     """Inverted-index df stats over the documents table (tokens appearing
     in >= 5 docs)."""
@@ -730,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "value_quantiles_sketch": _value_quantiles_sketch,
             "distinct_users_by_type": _distinct_users_by_type,
             "distinct_users_sketch": _distinct_users_sketch,
+            "top_users_by_type": _top_users_by_type,
             "graph_components": _graph_components,
         }
     )
@@ -750,6 +763,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct "
         "FROM events GROUP BY event_type"
     )
+    from docprocai_service_ray.stages.topfreq import topn_sql
+
+    sql["top_users_by_type"] = topn_sql("events", "event_type", "user_id", 3)
     sql.update(_graph_sql())
     sql.update(_golden_sql())
     return sql
