@@ -288,6 +288,54 @@ def orders_lineitem_join(sf_dir: str, strategy: str = "auto"):
     )
 
 
+def urgent_lineitem_revenue(sf_dir: str, bloom: bool = True):
+    """Selective fact join on the FORCED shuffle tier with the Bloom
+    prefilter (state/joins.hash_join bloom_prefilter): the right side is
+    orders filtered to one priority (~20%), so ~80% of lineitem rows are
+    dropped before the exchange — the runtime-row-filter pattern
+    (exactness preserved: Bloom false positives still meet the merge)."""
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.Table.from_arrays([b["l_orderkey"], rev], names=["o_orderkey", "rev"])
+
+    li = li.map_batches(_project, batch_format="pyarrow", zero_copy_batch=True)
+    import pyarrow.dataset as pads
+
+    # row filter pushed to the parquet read (row-group pruning at source)
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    joined = hash_join(
+        li, orders, on="o_orderkey", strategy="shuffle", bloom_prefilter=bloom
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n=("rev", "size"), s=("rev", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "n_lines": [np.int64(g["n"].sum())],
+            "revenue": [round(float(g["s"].sum()), 2)],
+        })
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def asof_events_orders(sf_dir: str, strategy: str = "auto"):
     """As-of join: each event matched to the user's latest order at or
     before the event time (custom operator; right side pre-aggregated to
@@ -629,6 +677,12 @@ SQL: dict[str, str] = {
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         GROUP BY 1
     """,
+    "urgent_lineitem_revenue_bloom": """
+        SELECT o_orderpriority, COUNT(*) AS n_lines,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    """,
     "region_customer_rollup": """
         SELECT r_name, COUNT(*) AS customers, ROUND(SUM(c_acctbal), 2) AS total_acctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -709,6 +763,7 @@ QUERIES = {
     "idle_customers": idle_customers,
     "orders_lineitem_join": orders_lineitem_join,
     "orders_lineitem_join_shuffle": lambda sf: orders_lineitem_join(sf, strategy="shuffle"),
+    "urgent_lineitem_revenue_bloom": urgent_lineitem_revenue,
     "asof_events_orders": asof_events_orders,
     "asof_events_orders_shuffle": lambda sf: asof_events_orders(sf, strategy="shuffle"),
     "union_sources": union_sources,
