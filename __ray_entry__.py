@@ -419,6 +419,17 @@ def _distinct_users_sketch(sf_dir: str):
     return grouped_distinct_sketch(ds, "event_type", "user_id")
 
 
+def _curated_corpus_stats(sf_dir: str):
+    """Flagship training-data curation recipe (pipelines/curate.py):
+    quality+lang gate → exact text dedup (min doc_id, hash-only exchange)
+    → deterministic md5 sample → per-lang doc/token counts. The WHOLE
+    composition has a DuckDB twin (curation_sql), so the recipe is
+    oracle-checked end to end."""
+    from docprocai_service_ray.pipelines.curate import curated_corpus_stats
+
+    return curated_corpus_stats(sf_dir)
+
+
 def _top_users_by_type(sf_dir: str):
     """Per-event-type top-3 most-active users (grouped heavy hitters,
     EXACT tier: per-batch count partials → one hash exchange → rank;
@@ -743,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "distinct_users_by_type": _distinct_users_by_type,
             "distinct_users_sketch": _distinct_users_sketch,
             "top_users_by_type": _top_users_by_type,
+            "curated_corpus_stats": _curated_corpus_stats,
             "graph_components": _graph_components,
         }
     )
@@ -766,6 +778,9 @@ def oracle_sql() -> dict[str, str]:
     from docprocai_service_ray.stages.topfreq import topn_sql
 
     sql["top_users_by_type"] = topn_sql("events", "event_type", "user_id", 3)
+    from docprocai_service_ray.pipelines.curate import curation_sql
+
+    sql["curated_corpus_stats"] = curation_sql()
     sql.update(_graph_sql())
     sql.update(_golden_sql())
     return sql
