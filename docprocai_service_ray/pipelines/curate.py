@@ -149,6 +149,6 @@ def curation_sql(langs=DEFAULT_LANGS, min_quality: float = DEFAULT_MIN_QUALITY,
                 FROM f) WHERE rn = 1
         ),
         s AS (SELECT * FROM dd WHERE {pred})
-        SELECT lang, COUNT(*) AS n_docs, SUM(tok) AS n_tokens
+        SELECT lang, COUNT(*) AS n_docs, SUM(tok)::BIGINT AS n_tokens
         FROM s GROUP BY lang
     """
