@@ -46,6 +46,10 @@ QUERY_NAMES = [
     "exact_dedup_docs",
     "token_stats_by_lang",
     "knn_topk_cosine",
+    # round 3 additions (sketch-family exact tiers + the curation recipe)
+    "distinct_users_by_type",
+    "top_users_by_type",
+    "curated_corpus_stats",
 ]
 
 

@@ -336,6 +336,29 @@ def urgent_lineitem_revenue(sf_dir: str, bloom: bool = True):
     )
 
 
+def distinct_users_by_type(sf_dir: str):
+    """Exact grouped distinct counts (stages/distinct.grouped_distinct)."""
+    from ..stages.distinct import grouped_distinct
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_distinct(ds, "event_type", "user_id")
+
+
+def top_users_by_type(sf_dir: str):
+    """Exact grouped heavy hitters (stages/topfreq.grouped_topn_values)."""
+    from ..stages.topfreq import grouped_topn_values
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_topn_values(ds, "event_type", "user_id", 3)
+
+
+def curated_corpus_stats_query(sf_dir: str):
+    """End-to-end curation recipe stats (pipelines/curate.py)."""
+    from .curate import curated_corpus_stats
+
+    return curated_corpus_stats(sf_dir)
+
+
 def asof_events_orders(sf_dir: str, strategy: str = "auto"):
     """As-of join: each event matched to the user's latest order at or
     before the event time (custom operator; right side pre-aggregated to
@@ -764,6 +787,9 @@ QUERIES = {
     "orders_lineitem_join": orders_lineitem_join,
     "orders_lineitem_join_shuffle": lambda sf: orders_lineitem_join(sf, strategy="shuffle"),
     "urgent_lineitem_revenue_bloom": urgent_lineitem_revenue,
+    "distinct_users_by_type": distinct_users_by_type,
+    "top_users_by_type": top_users_by_type,
+    "curated_corpus_stats": curated_corpus_stats_query,
     "asof_events_orders": asof_events_orders,
     "asof_events_orders_shuffle": lambda sf: asof_events_orders(sf, strategy="shuffle"),
     "union_sources": union_sources,
