@@ -419,6 +419,20 @@ def _distinct_users_sketch(sf_dir: str):
     return grouped_distinct_sketch(ds, "event_type", "user_id")
 
 
+def _doc_top_terms(sf_dir: str):
+    """Per-doc TF-IDF top-3 terms (stages/tfidf.py): in-batch tf explode →
+    df exchange → auto-tiered idf join → per-doc top-k; integer-exact
+    output (the float score is rank-only)."""
+    import ray.data as rd
+
+    from docprocai_service_ray.stages.tfidf import doc_top_terms
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return doc_top_terms(ds, "doc_id", "text", 3)
+
+
 def _curated_corpus_stats(sf_dir: str):
     """Flagship training-data curation recipe (pipelines/curate.py):
     quality+lang gate → exact text dedup (min doc_id, hash-only exchange)
@@ -755,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "distinct_users_sketch": _distinct_users_sketch,
             "top_users_by_type": _top_users_by_type,
             "curated_corpus_stats": _curated_corpus_stats,
+            "doc_top_terms": _doc_top_terms,
             "graph_components": _graph_components,
         }
     )
@@ -781,6 +796,9 @@ def oracle_sql() -> dict[str, str]:
     from docprocai_service_ray.pipelines.curate import curation_sql
 
     sql["curated_corpus_stats"] = curation_sql()
+    from docprocai_service_ray.stages.tfidf import tfidf_sql
+
+    sql["doc_top_terms"] = tfidf_sql("documents", "doc_id", "text", 3)
     sql.update(_graph_sql())
     sql.update(_golden_sql())
     return sql
