@@ -169,6 +169,36 @@ def reprocess_urls(
     return out
 
 
+def ingest_shard(
+    new_pages_path: str,
+    alias_table: pa.Table,
+    cfg: KGConfig = DEFAULT_CONFIG,
+    out_dir: str = "",
+) -> dict:
+    """Incremental corpus growth: append a NEW shard of pages to an
+    existing checkpointed ``run_kg`` output (the continuous-ingest flow
+    the reference serializes through its task queue,
+    service/DocProcAiService.py:694-707 — here a batch of records at
+    once). Per-record stages (extract / sentences / triples_raw /
+    mentions / summaries) run over ONLY the shard; the corpus-level
+    stages (entity_map, triples) re-derive by aggregation over the
+    accumulated raw tables, because canonical ids are corpus-global.
+    Brand-new urls insert; re-crawled urls REPLACE their previous rows
+    (idempotent upsert, W6) — so re-ingesting the same shard is a no-op
+    and the result always equals a clean full run over old ∪ new
+    (tests/test_ingest_shard.py proves equality stage by stage).
+
+    Driver cost is the shard's distinct-url list (the same contract as
+    ``reprocess_urls``); split a huge shard into sub-shards and call this
+    per sub-shard — each call is atomic via the reprocess in-flight
+    marker."""
+    shard_urls = rd.read_parquet(
+        _page_files(new_pages_path), columns=["url"]
+    ).unique("url")
+    return reprocess_urls(new_pages_path, shard_urls, alias_table, cfg,
+                          out_dir=out_dir)
+
+
 def run_kg(
     pages_path: str,
     alias_table: pa.Table,
