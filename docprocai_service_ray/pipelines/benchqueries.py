@@ -336,6 +336,31 @@ def urgent_lineitem_revenue(sf_dir: str, bloom: bool = True):
     )
 
 
+def user_event_type_sets(sf_dir: str):
+    """Grouped collect-set with deterministic order (the set-union /
+    provenance-collect shape, SURVEY A2, as a standalone string
+    aggregation): per user, the sorted distinct event types joined with
+    ','. Per-batch pair dedup defuses repetition before the exchange."""
+    from ..state.groupby import partition_reduce
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["user_id", "event_type"])
+
+    def reduce(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(["user_id", "event_type"])
+        g = part.sort_values("event_type").groupby("user_id", as_index=False).agg(
+            event_types=("event_type", ",".join),
+            n_types=("event_type", "size"),
+        )
+        return g.astype({"n_types": "int64"})
+
+    return partition_reduce(
+        ds.map_batches(local_dedup, batch_format="pandas"), ["user_id"], reduce
+    )
+
+
 def distinct_users_by_type(sf_dir: str):
     """Exact grouped distinct counts (stages/distinct.grouped_distinct)."""
     from ..stages.distinct import grouped_distinct
@@ -700,6 +725,12 @@ SQL: dict[str, str] = {
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         GROUP BY 1
     """,
+    "user_event_type_sets": """
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM events GROUP BY user_id
+    """,
     "urgent_lineitem_revenue_bloom": """
         SELECT o_orderpriority, COUNT(*) AS n_lines,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -788,6 +819,7 @@ QUERIES = {
     "orders_lineitem_join_shuffle": lambda sf: orders_lineitem_join(sf, strategy="shuffle"),
     "urgent_lineitem_revenue_bloom": urgent_lineitem_revenue,
     "distinct_users_by_type": distinct_users_by_type,
+    "user_event_type_sets": user_event_type_sets,
     "top_users_by_type": top_users_by_type,
     "curated_corpus_stats": curated_corpus_stats_query,
     "asof_events_orders": asof_events_orders,
