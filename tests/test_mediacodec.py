@@ -392,3 +392,36 @@ class TestMp4Frames:
     def test_garbage_rejected(self):
         with pytest.raises(ValueError):
             mc.mp4_probe(b"\x00" * 32)
+
+
+class TestDemuxFuzz:
+    """Container demuxers must terminate and fail cleanly (ValueError or
+    empty result) on arbitrary bytes — corrupt size fields must not hang,
+    mis-slice, or raise anything unexpected."""
+
+    def test_mp4_and_avi_on_random_bytes(self):
+        rng = np.random.RandomState(0)
+        for n in (0, 7, 64, 4096):
+            for _ in range(20):
+                blob = rng.bytes(n)
+                for prefix in (b"", b"\x00\x00\x00\x20ftyp", b"RIFF\x10\x00\x00\x00AVI "):
+                    data = prefix + blob
+                    try:
+                        mc.mp4_frames(data)
+                        mc.mp4_probe(data)
+                    except ValueError:
+                        pass
+                    try:
+                        mc.avi_frames(data)
+                        mc.avi_probe(data)
+                    except ValueError:
+                        pass
+
+    def test_truncated_real_mp4(self):
+        p = gen_mp4(1, 1)
+        for cut in (4, 9, len(p) // 3, len(p) - 3):
+            try:
+                frames = mc.mp4_frames(p[:cut])
+                assert isinstance(frames, list)  # may be empty/partial
+            except ValueError:
+                pass
