@@ -33,7 +33,7 @@ _CFG = KGConfig()
 
 # bump when pipeline SEMANTICS change so stale /tmp checkpoints from an
 # earlier code version can never satisfy a resume
-_PIPELINE_VERSION = "v2"
+_PIPELINE_VERSION = "v3"
 
 
 def _kg_run(sf_dir: str) -> dict:
@@ -61,6 +61,72 @@ def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver checks rows >= 0."""
     res = _kg_run("/root/testdata/sf0.001")
     return res["triples"].select_columns(["subject_id", "pred", "object_id", "weight"])
+
+
+def _corpus_n(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.001
+    return max(300, int(sf * 200_000))
+
+
+def _corpus_pages(sf_dir: str, columns: list[str]):
+    """The synthetic web_pages table for this sf (same corpus _kg_run uses),
+    column-pruned at the read."""
+    import ray.data as rd
+
+    from docprocai_service_ray.sources.webgen import ensure_corpus
+
+    corpus = ensure_corpus(_corpus_n(sf_dir), _CFG.seed, _CFG.embedding_dim)
+    return rd.read_parquet(os.path.join(corpus, "web_pages"), columns=columns)
+
+
+# ---------------------- web link graph (stages/linkgraph.py) ---------------
+
+def _host_link_edges(sf_dir: str):
+    """Host-level link graph from raw page html: vectorized href
+    extractall → relative-url resolution → cross-host edge counts (partial
+    pre-agg; hub hosts concentrate counts, never rows). REAL-SQL-oracled:
+    the DuckDB twin regexes DuckDB's escaped BLOB cast, so even the
+    non-UTF-8 edge pages are covered."""
+    from docprocai_service_ray.stages.linkgraph import host_link_edges
+
+    return host_link_edges(_corpus_pages(sf_dir, ["url", "html"]))
+
+
+def _top_linked_hosts(sf_dir: str):
+    from docprocai_service_ray.stages.linkgraph import top_linked_hosts
+
+    return top_linked_hosts(_corpus_pages(sf_dir, ["url", "html"]), 10)
+
+
+def _host_pagerank(sf_dir: str):
+    """PageRank over the REAL hyperlink structure of the corpus (host
+    graph) — reuses stages/graph.pagerank's size-gated tiers; golden-frozen
+    at 8dp like pagerank_entities (iterative float fixpoint, no exact SQL)."""
+    from docprocai_service_ray.stages.linkgraph import host_pagerank
+
+    return host_pagerank(_corpus_pages(sf_dir, ["url", "html"]), iters=20, cfg=_CFG)
+
+
+def _linkgraph_sql() -> dict[str, str]:
+    """Real DuckDB SQL over the SAME corpus parquet the Ray queries read.
+    The path is deterministic (webgen.corpus_path); if the corpus isn't
+    there yet and Ray is already up (the driver initialises Ray before
+    importing this module), generate it now so the oracle can run first."""
+    import ray
+
+    from docprocai_service_ray.sources.webgen import corpus_path, ensure_corpus
+    from docprocai_service_ray.stages.linkgraph import linkgraph_sql, top_hosts_sql
+
+    n = _corpus_n("/root/testdata/sf0.01")  # driver correctness scale
+    root = corpus_path(n, _CFG.seed, _CFG.embedding_dim)
+    if not os.path.exists(os.path.join(root, "_SUCCESS")) and ray.is_initialized():
+        ensure_corpus(n, _CFG.seed, _CFG.embedding_dim)
+    glob = os.path.join(root, "web_pages", "*.parquet")
+    return {
+        "host_link_edges": linkgraph_sql(glob),
+        "top_linked_hosts": top_hosts_sql(glob, 10),
+    }
 
 
 # -------------- KG queries (golden-parquet oracles; oracle-certified) -------
@@ -722,6 +788,9 @@ _GOLDEN_QUERIES = [
     # in tests vs the exact tier); golden pins its determinism
     "value_quantiles_sketch",
     "distinct_users_sketch",
+    # iterative float fixpoint over the host link graph (see
+    # pagerank_entities note above); edges themselves are REAL-SQL-oracled
+    "host_pagerank",
 ]
 
 
@@ -771,6 +840,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "curated_corpus_stats": _curated_corpus_stats,
             "doc_top_terms": _doc_top_terms,
             "graph_components": _graph_components,
+            "host_link_edges": _host_link_edges,
+            "top_linked_hosts": _top_linked_hosts,
+            "host_pagerank": _host_pagerank,
         }
     )
     return q
@@ -800,5 +872,6 @@ def oracle_sql() -> dict[str, str]:
 
     sql["doc_top_terms"] = tfidf_sql("documents", "doc_id", "text", 3)
     sql.update(_graph_sql())
+    sql.update(_linkgraph_sql())
     sql.update(_golden_sql())
     return sql

@@ -257,10 +257,31 @@ def _core_page(seed: int, row: int) -> tuple[bytes, str, list[tuple[str, str, st
         "<header><h2>Site banner</h2></header>"
         "<div class='content'><h1>" + title + "</h1>" + "".join(paras) + "</div>"
         "<aside>Sponsored: amazing deals on widgets, click now!</aside>"
-        "<footer>&copy; 2025 example network &middot; contact &middot; privacy"
+        "<footer>&copy; 2025 example network &middot; " + _outlinks_html(seed, row)
+        + "contact &middot; privacy"
         "</footer><script>var t=Date.now();track(t);</script></body></html>"
     )
     return html.encode("utf-8"), lang, facts
+
+
+# a few hub sites own a disproportionate share of in-links (web-graph
+# power-law head — the skew axis the host-level aggregation must survive)
+_HUB_SITES = (7, 48, 89, 130, 171)
+
+
+def _outlinks_html(seed: int, row: int) -> str:
+    """Deterministic cross-site outlinks planted in the footer (boilerplate
+    zone: functions/html_extract.py SKIP_TAGS drops <footer>, so the
+    extracted text — and every KG golden derived from it — is unchanged by
+    these). Separate rng stream so the existing content draws stay
+    byte-identical too."""
+    lrng = random.Random((seed << 22) ^ (row * 7877 + 11))
+    n_out = lrng.randint(0, 6)
+    parts = []
+    for _ in range(n_out):
+        t = _HUB_SITES[lrng.randrange(5)] if lrng.random() < 0.35 else lrng.randrange(211)
+        parts.append(f"<a href='https://site{t}.example/ref-{lrng.randrange(1000)}'>site {t}</a> ")
+    return "".join(parts)
 
 
 def gen_page(seed: int, row: int) -> dict:
@@ -392,7 +413,14 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42, dim: int = 64,
     return out_dir
 
 
-GEN_VERSION = 2  # bump when generated content changes, to invalidate caches
+GEN_VERSION = 3  # bump when generated content changes, to invalidate caches
+
+
+def corpus_path(n_rows: int, seed: int = 42, dim: int = 64,
+                base: str = "/tmp/raykg_corpus") -> str:
+    """Deterministic cache dir for ``ensure_corpus`` WITHOUT generating —
+    lets oracle SQL strings embed the path before the corpus exists."""
+    return os.path.join(base, f"n{n_rows}_s{seed}_d{dim}_v{GEN_VERSION}")
 
 
 def ensure_corpus(n_rows: int, seed: int = 42, dim: int = 64,
@@ -401,7 +429,7 @@ def ensure_corpus(n_rows: int, seed: int = 42, dim: int = 64,
     generated once, concurrency-safe (advisory lock)."""
     from ..state.manifest import dir_lock
 
-    out = os.path.join(base, f"n{n_rows}_s{seed}_d{dim}_v{GEN_VERSION}")
+    out = corpus_path(n_rows, seed, dim, base)
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out

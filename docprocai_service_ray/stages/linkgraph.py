@@ -1,0 +1,214 @@
+"""Web link-graph extraction over raw page HTML.
+
+The reference ingests each document in isolation; a Common-Crawl-scale
+corpus additionally carries the *hyperlink structure* between pages, and a
+training-data engine needs it first-class (host-level graphs drive crawl
+prioritization, spam/SEO filtering and PageRank-style quality signals used
+as curation features). This module derives the host-level link graph
+directly from the ``html`` binary column of the ``web_pages`` table
+(BASELINE.json input_hint shape) — no extra input.
+
+Stages (all streaming, no driver-side materialization):
+
+- :func:`extract_links` — per-batch: decode html bytes (UTF-8,
+  ``errors="replace"`` so undecodable crawl bytes degrade instead of
+  failing), pull ``href`` values with ONE vectorized
+  ``pandas.str.extractall`` (compiled regex, no per-row Python loop),
+  resolve relative hrefs against the page's own host (``urljoin``
+  semantics for the absolute/root-relative forms crawl pages use), and
+  emit (src_host, dst_host, href) link rows.
+- :func:`host_link_edges` — cross-host edge aggregation: per-batch
+  partial ``groupby(size)`` so the exchange moves (src_host, dst_host,
+  partial_n) rows, never raw links — hub hosts (the web graph's power-law
+  head) concentrate *counts*, not rows, exactly like
+  stages/graph.entity_degree's skew handling.
+- :func:`host_pagerank` — PageRank over the host graph: renames the edge
+  table to the (subject_id, object_id) shape and reuses
+  stages/graph.pagerank unchanged (size-gated driver kernel under the
+  vocab threshold, one join + grouped sum per iteration above it).
+
+Scale contract: hosts ≪ pages (CC: ~10^8 hosts vs ~10^12 pages), so the
+edge aggregate output is vocab-sized while the link extraction itself
+streams the full corpus once. The DuckDB oracle replicates the extraction
+over DuckDB's escaped BLOB→VARCHAR cast (quote chars appear as the literal
+text ``\\x27``), so the whole path — including non-UTF-8 edge rows — is
+SQL-checked without ever decoding in SQL.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..state.groupby import partition_reduce
+
+# one compiled regex, shared by every batch; single- or double-quoted hrefs
+_HREF_RE = re.compile(r"""href=['"]([^'"]+)['"]""")
+_HOST_RE = re.compile(r"^https?://([^/]+)")
+
+
+def _decode_html(col) -> list[str]:
+    return [
+        b.decode("utf-8", "replace") if b is not None else ""
+        for b in col
+    ]
+
+
+def extract_links(pages, *, url_col: str = "url", html_col: str = "html"):
+    """(src_host, dst_host, href) rows, one per anchor on every page.
+
+    Relative hrefs (``/about``) resolve to the page's own host; absolute
+    ``http(s)://`` hrefs contribute their own host; other schemes
+    (mailto:, javascript:) are dropped.
+    """
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        html = pd.Series(_decode_html(df[html_col]), index=df.index, dtype="object")
+        src_host = df[url_col].str.extract(_HOST_RE, expand=False)
+        # one vectorized extractall: MultiIndex (row, match) -> href
+        hrefs = html.str.extractall(_HREF_RE)[0]
+        if len(hrefs) == 0:
+            return pd.DataFrame({
+                "src_host": pd.Series([], dtype="object"),
+                "dst_host": pd.Series([], dtype="object"),
+                "href": pd.Series([], dtype="object"),
+            })
+        rows = hrefs.index.get_level_values(0)
+        src = src_host.loc[rows].to_numpy()
+        href = hrefs.to_numpy()
+        is_abs = hrefs.str.match(_HOST_RE).to_numpy()
+        abs_host = hrefs.str.extract(_HOST_RE, expand=False).to_numpy()
+        is_rel = hrefs.str.startswith("/").to_numpy()
+        dst = np.where(is_abs, abs_host, np.where(is_rel, src, None))
+        keep = pd.notna(dst)
+        return pd.DataFrame({
+            "src_host": src[keep],
+            "dst_host": dst[keep],
+            "href": href[keep],
+        })
+
+    return pages.map_batches(per_batch, batch_format="pandas")
+
+
+def host_link_edges(pages, *, url_col: str = "url", html_col: str = "html",
+                    num_partitions: int = 32):
+    """Cross-host (src_host, dst_host, n_links) edge table — the host-level
+    web graph. Same-host links (nav/self) are dropped; counts are exact."""
+    links = extract_links(pages, url_col=url_col, html_col=html_col)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src_host"] != df["dst_host"]]
+        return df.groupby(["src_host", "dst_host"], as_index=False).agg(
+            n=("href", "size")
+        )
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby(["src_host", "dst_host"], as_index=False).agg(
+            n_links=("n", "sum")
+        )
+        out["n_links"] = out["n_links"].astype("int64")
+        return out
+
+    return partition_reduce(
+        links.map_batches(partial, batch_format="pandas"),
+        ["src_host", "dst_host"],
+        final,
+        num_partitions=num_partitions,
+    )
+
+
+def top_linked_hosts(pages, k: int = 10, **kwargs):
+    """Top-k hosts by distinct-source in-link count (the hub head of the
+    graph): per-block partial top-k is unnecessary — the edge table is
+    already vocab-sized, so one grouped sum + tiny sort suffices."""
+    edges = host_link_edges(pages, **kwargs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("dst_host", as_index=False).agg(
+            in_hosts=("src_host", "nunique"), in_links=("n_links", "sum")
+        )
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("dst_host", as_index=False).agg(
+            in_hosts=("in_hosts", "sum"), in_links=("in_links", "sum")
+        )
+
+    ranked = partition_reduce(
+        edges.map_batches(partial, batch_format="pandas"),
+        ["dst_host"], final, num_partitions=8,
+    )
+    return (
+        ranked.sort(["in_links", "dst_host"], descending=[True, False])
+        .limit(k)
+        .map_batches(
+            lambda df: df.assign(
+                in_hosts=df["in_hosts"].astype("int64"),
+                in_links=df["in_links"].astype("int64"),
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def host_pagerank(pages, *, iters: int = 20, cfg=None, **kwargs):
+    """PageRank over the host link graph (reuses stages/graph.pagerank:
+    same size-gated tiers, same dense-numpy-verified kernel)."""
+    import pyarrow as pa
+
+    from .graph import pagerank
+
+    edges = host_link_edges(pages, **kwargs)
+    as_triples = edges.map_batches(
+        lambda t: t.select(["src_host", "dst_host"]).rename_columns(
+            ["subject_id", "object_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    ranked = pagerank(as_triples, iters=iters, cfg=cfg)
+    return ranked.map_batches(
+        lambda t: t.rename_columns(["host", "rank"]), batch_format="pyarrow"
+    )
+
+
+def linkgraph_sql(pages_glob: str) -> str:
+    """DuckDB oracle for :func:`host_link_edges` over the SAME parquet.
+
+    DuckDB cannot decode arbitrary BLOBs (invalid UTF-8 raises), but its
+    BLOB→VARCHAR cast is a deterministic escape (quote = ``\\x27``,
+    non-printables = ``\\xNN``), so the oracle regexes the ESCAPED form —
+    total over every row, including the planted non-UTF-8 edge pages."""
+    return f"""
+        WITH raw AS (
+            SELECT url, TRY_CAST(html AS VARCHAR) AS s
+            FROM read_parquet('{pages_glob}')
+        ),
+        links AS (
+            SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src_host,
+                   unnest(regexp_extract_all(s, 'href=\\\\x27([^\\\\]+)\\\\x27', 1)) AS href
+            FROM raw
+        ),
+        resolved AS (
+            SELECT src_host,
+                   CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+                        THEN regexp_extract(href, '^https?://([^/]+)', 1)
+                        WHEN href LIKE '/%' THEN src_host
+                        ELSE NULL END AS dst_host
+            FROM links
+        )
+        SELECT src_host, dst_host, COUNT(*) AS n_links
+        FROM resolved
+        WHERE dst_host IS NOT NULL AND dst_host <> src_host
+        GROUP BY 1, 2
+    """
+
+
+def top_hosts_sql(pages_glob: str, k: int = 10) -> str:
+    return f"""
+        WITH e AS ({linkgraph_sql(pages_glob)})
+        SELECT dst_host, COUNT(DISTINCT src_host) AS in_hosts,
+               CAST(SUM(n_links) AS BIGINT) AS in_links
+        FROM e GROUP BY 1
+        ORDER BY in_links DESC, dst_host ASC LIMIT {k}
+    """
