@@ -448,6 +448,63 @@ def sliding_event_counts(sf_dir: str):
     return sliding_counts(_pq(sf_dir, "events", ["ts", "event_type"]))
 
 
+def top_orders_per_priority(sf_dir: str):
+    """Per-group top-N whole rows with rank (ROW_NUMBER window analog,
+    stages/windows.grouped_topn_rows): per-batch partial top-3 bounds the
+    exchange at 3 rows per (priority, batch)."""
+    from ..stages.windows import grouped_topn_rows
+
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    top = grouped_topn_rows(
+        ds, ["o_orderpriority"], "o_totalprice", 3,
+        descending=True, tiebreak=["o_orderkey"],
+    )
+    return top.map_batches(
+        lambda df: df.assign(o_totalprice=df["o_totalprice"].round(2),
+                             rn=df["rn"].astype("int64")),
+        batch_format="pandas",
+    )
+
+
+def customer_running_spend(sf_dir: str):
+    """Running per-customer order total in order-date order (cumulative
+    window-sum analog, stages/windows.running_group_agg) — row-per-order
+    output, each customer co-located once."""
+    from ..stages.windows import running_group_agg
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    run = running_group_agg(
+        ds, ["o_custkey"], ["o_orderdate", "o_orderkey"], "o_totalprice",
+        out_col="running_spend",
+    )
+    return run.map_batches(
+        lambda df: df[["o_custkey", "o_orderkey", "running_spend"]],
+        batch_format="pandas",
+    )
+
+
+def revenue_rollup(sf_dir: str):
+    """One-pass GROUP BY ROLLUP(l_returnflag, l_linestatus) on lineitem
+    revenue (stages/windows.rollup_aggregate): every level computed from
+    the same per-batch partials, no second scan."""
+    from ..stages.windows import rollup_aggregate
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+    with_rev = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "rev": df["l_extendedprice"] * (1 - df["l_discount"]),
+        }),
+        batch_format="pandas",
+    )
+    return rollup_aggregate(
+        with_rev, ["l_returnflag", "l_linestatus"], "rev",
+        sum_col="revenue", count_col="n_lines",
+    )
+
+
 def region_customer_rollup(sf_dir: str):
     """Three-way dimension join (region ⋈ nation ⋈ customer) with both tiny
     dims broadcast — the star-schema lookup shape."""
@@ -747,6 +804,29 @@ SQL: dict[str, str] = {
         SELECT n_name, COUNT(*) AS suppliers, ROUND(SUM(s_acctbal), 2) AS s_total
         FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1
     """,
+    "top_orders_per_priority": """
+        SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rn
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "customer_running_spend": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+        FROM orders
+    """,
+    "revenue_rollup": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
     "session_stats_q": """
         WITH d AS (
             SELECT user_id,
@@ -827,6 +907,9 @@ QUERIES = {
     "union_sources": union_sources,
     "session_stats_q": session_stats_q,
     "sliding_event_counts": sliding_event_counts,
+    "top_orders_per_priority": top_orders_per_priority,
+    "customer_running_spend": customer_running_spend,
+    "revenue_rollup": revenue_rollup,
     "region_customer_rollup": region_customer_rollup,
     "supplier_nation_stats": supplier_nation_stats,
     "exact_dedup_docs": exact_dedup_docs,

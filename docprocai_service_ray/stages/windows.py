@@ -79,3 +79,107 @@ def sliding_counts(events_ds, *, ts_col: str = "ts", key_col: str = "event_type"
     )
     return partition_reduce(partials, ["window_start", "key"], merge,
                             num_partitions=16)
+
+
+# --------------------- SQL window-function / rollup analogs -----------------
+# The reference's query surface is Postgres, where per-group ranking,
+# running totals and multi-level rollups are one-line window/ROLLUP SQL.
+# Re-expressed for a streaming Dataset:
+#  - grouped_topn_rows: ROW_NUMBER() <= n per partition. Per-batch partial
+#    top-n first, so at most n rows per (group, batch) ever reach the
+#    exchange — a head group's raw rows never co-locate.
+#  - running_group_agg: SUM() OVER (PARTITION BY key ORDER BY ...). Output
+#    is row-per-input, so each key's rows must co-locate once (the same
+#    per-key partition contract asof_join documents); within a partition
+#    the scan is one vectorized sort + groupby.cumsum.
+#  - rollup_aggregate: GROUP BY ROLLUP in ONE pass — per-batch partials at
+#    the finest level are expanded to every prefix level in-batch
+#    (algebraic aggregates only), so the exchange stays
+#    O(levels × finest-groups × batches) and no second scan is needed.
+
+
+def grouped_topn_rows(ds, keys: list[str], order_col: str, n: int, *,
+                      descending: bool = True, tiebreak: list[str] | None = None,
+                      num_partitions: int = 32, rank_col: str = "rn"):
+    """Top-``n`` whole rows per group with their rank — the distributed
+    ``QUALIFY ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order_col
+    [DESC], tiebreak) <= n``. ``tiebreak`` must make the order total or
+    ranks are nondeterministic across parallelism."""
+    tiebreak = tiebreak or []
+    sort_cols = [order_col, *tiebreak]
+    ascending = [not descending] + [True] * len(tiebreak)
+
+    def sort_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=ascending, kind="stable")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return sort_part(df).groupby(keys, sort=False).head(n)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        out = sort_part(part)
+        out = out.assign(**{rank_col: out.groupby(keys, sort=False).cumcount() + 1})
+        return out[out[rank_col] <= n]
+
+    return partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"), keys, final,
+        num_partitions=num_partitions,
+    )
+
+
+def running_group_agg(ds, key_cols: list[str], order_cols: list[str],
+                      val_col: str, out_col: str = "running_sum", *,
+                      num_partitions: int = 32, round_to: int | None = 2):
+    """Per-row running sum of ``val_col`` within each key group ordered by
+    ``order_cols`` — ``SUM(val) OVER (PARTITION BY key ORDER BY order ROWS
+    UNBOUNDED PRECEDING)``. ``order_cols`` must be a total order within
+    each key (include a unique id) for cross-run determinism; the cumsum
+    is sequential in that same order, so it bit-matches the SQL window."""
+
+    def reduce(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([*key_cols, *order_cols], kind="stable")
+        run = part.groupby(key_cols, sort=False)[val_col].cumsum()
+        if round_to is not None:
+            run = run.round(round_to)
+        return part.assign(**{out_col: run})
+
+    return partition_reduce(ds, key_cols, reduce, num_partitions=num_partitions)
+
+
+def rollup_aggregate(ds, keys: list[str], val_col: str, *,
+                     total_label: str = "ALL", num_partitions: int = 16,
+                     sum_col: str = "total", count_col: str = "n",
+                     round_to: int | None = 2):
+    """Grouped sum+count at EVERY rollup level of ``keys`` (finest →
+    grand total) in one pass — ``GROUP BY ROLLUP(keys)`` with rolled-up
+    key columns shown as ``total_label``. Input key columns must not
+    contain ``total_label`` themselves (SQL ROLLUP has the same NULL
+    ambiguity)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        finest = df.groupby(keys, as_index=False).agg(
+            __s=(val_col, "sum"), __n=(val_col, "size")
+        )
+        levels = [finest]
+        for lvl in range(len(keys) - 1, -1, -1):
+            rolled = finest.copy()
+            for c in keys[lvl:]:
+                rolled[c] = total_label
+            levels.append(rolled)
+        out = pd.concat(levels, ignore_index=True)
+        return out.groupby(keys, as_index=False).agg(
+            __s=("__s", "sum"), __n=("__n", "sum")
+        )
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby(keys, as_index=False).agg(
+            **{sum_col: ("__s", "sum"), count_col: ("__n", "sum")}
+        )
+        if round_to is not None:
+            out[sum_col] = out[sum_col].round(round_to)
+        out[count_col] = out[count_col].astype("int64")
+        return out
+
+    return partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"), keys, final,
+        num_partitions=num_partitions,
+    )
