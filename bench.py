@@ -50,6 +50,10 @@ QUERY_NAMES = [
     "distinct_users_by_type",
     "top_users_by_type",
     "curated_corpus_stats",
+    # window-function analogs (per-group top-n rows / running sum / rollup)
+    "top_orders_per_priority",
+    "customer_running_spend",
+    "revenue_rollup",
 ]
 
 
@@ -135,6 +139,18 @@ def run_headline(num_cpus: int, skip_queries: bool = False) -> dict:
             if hasattr(r, "to_pandas"):
                 r.to_pandas()
             queries[name] = round(time.monotonic() - t0, 3)
+        # link-graph ops at full corpus scale (they read raw html, so this
+        # times the heaviest per-byte scan in the query set)
+        from docprocai_service_ray.stages.linkgraph import host_link_edges, host_pagerank
+
+        pages = rd.read_parquet(os.path.join(corpus, "web_pages"),
+                                columns=["url", "html"])
+        t0 = time.monotonic()
+        host_link_edges(pages).to_pandas()
+        queries["host_link_edges"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        host_pagerank(pages, iters=20, cfg=cfg).to_pandas()
+        queries["host_pagerank"] = round(time.monotonic() - t0, 3)
 
     ray.shutdown()
     m = re.search(r"sf([0-9.]+)", SF_DIR)

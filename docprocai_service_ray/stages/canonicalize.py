@@ -44,6 +44,7 @@ from ..functions.canon import (
 )
 from ..functions.hashing import minhash_params
 from ..functions.linking import best_candidate, build_alias_index
+from ..state.groupby import collect_pandas
 from ..state.joins import hash_join
 
 ENTITY_MAP_SCHEMA = pa.schema(
@@ -144,12 +145,14 @@ def lsh_edges(surfaces_ds, cfg: KGConfig):
     )
 
 
-def _components_driver(edge_rows: list[dict], all_surfaces: list[str]) -> dict[str, str]:
+def _components_driver(edges_df, all_surfaces: list[str]) -> dict[str, str]:
+    """Driver union-find over a pandas (src, dst) edge frame (collected via
+    ``to_pandas()`` — Arrow block concat, never per-row ``take_all()``)."""
     uf = UnionFind()
     for s in all_surfaces:
         uf.find(s)
-    for e in sorted(edge_rows, key=lambda e: (e["src"], e["dst"])):
-        uf.union(e["src"], e["dst"])
+    for src, dst in sorted(zip(edges_df["src"].tolist(), edges_df["dst"].tolist())):
+        uf.union(src, dst)
     return {n: uf.find(n) for n in uf.parent}
 
 
@@ -287,7 +290,7 @@ def build_entity_map(triples_raw_ds, alias_ref: ray.ObjectRef, cfg: KGConfig):
         # exercised by tests via cfg.driver_canon_max=0.
         from ..functions.canon import lsh_candidate_edges
 
-        surface_list = sorted(r["surface"] for r in surfaces.take_all())
+        surface_list = sorted(collect_pandas(surfaces, ["surface"])["surface"])
         alias_table = ray.get(alias_ref)
         index = build_alias_index(alias_table)
         uf = UnionFind()
@@ -326,8 +329,9 @@ def build_entity_map(triples_raw_ds, alias_ref: ray.ObjectRef, cfg: KGConfig):
     n_edges = edges.count()  # metadata-only on a materialized dataset
     if n_edges <= cfg.driver_unionfind_max:
         # candidate set provably small → driver union-find (SURVEY.md §2.6 W2)
-        all_surfaces = [r["surface"] for r in surfaces.take_all()]
-        labels_map = _components_driver(edges.take_all(), all_surfaces)
+        all_surfaces = collect_pandas(surfaces, ["surface"])["surface"].tolist()
+        labels_map = _components_driver(
+            collect_pandas(edges, ["src", "dst"]), all_surfaces)
         lt = pa.Table.from_pydict(
             {"node": list(labels_map), "label": [labels_map[k] for k in labels_map]}
         )

@@ -220,15 +220,14 @@ def minhash_lsh_pairs(
             _verify_frame, batch_format="pandas", concurrency=pool_size(4)
         )
 
-    cand_ids = set()
-    for r in pairs.take_all():
-        cand_ids.add(r["id_a"])
-        cand_ids.add(r["id_b"])
+    pairs_df = pairs.to_pandas()  # Arrow-concat collect, never take_all
+    cand_ids = set(pairs_df["id_a"]) | set(pairs_df["id_b"])
     texts_ds = ds.map_batches(
         lambda df: df[df[id_col].isin(cand_ids)][[id_col, text_col]],
         batch_format="pandas",
     )
-    text_map = {r[id_col]: r[text_col] for r in texts_ds.take_all()}
+    tdf = texts_ds.to_pandas()
+    text_map = dict(zip(tdf[id_col], tdf[text_col]))
     ref = ray.put(text_map)
 
     class Verify:

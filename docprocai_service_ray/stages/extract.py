@@ -89,7 +89,7 @@ def dedup_urls(docs_ds, cfg: KGConfig):
     the tied urls — a crawl shard almost never produces them)."""
     import pandas as pd
 
-    from ..state.groupby import distinct_rows, partition_reduce
+    from ..state.groupby import collect_pandas, distinct_rows, partition_reduce
 
     # one execution of the upstream pipeline feeds this 3-column projection;
     # everything below it is metadata / vocab-sized
@@ -118,7 +118,6 @@ def dedup_urls(docs_ds, cfg: KGConfig):
         # small-side fast path: the 40-byte/row projection fits on the
         # driver — one collect, no shuffle
         win_df = winners(proj.to_pandas())
-        win_rows = win_df.to_dict("records")
     else:
         dup_winners = partition_reduce(
             proj, ["url"], winners, num_partitions=64
@@ -129,9 +128,12 @@ def dedup_urls(docs_ds, cfg: KGConfig):
             # collect + broadcast map — filter via a distributed left hash
             # join instead (the driver never holds a winner row)
             return _dedup_join_tier(docs_ds, dup_winners)
-        win_rows = dup_winners.take_all()  # small: only urls that appear 2+ times
-    win_map = {r["url"]: (r["warc_ts"], r["content_hash"]) for r in win_rows}
-    tie_urls = sorted(r["url"] for r in win_rows if r["n_win_copies"] > 1)
+        # small: only urls that appear 2+ times; Arrow-concat collect,
+        # never per-row take_all
+        win_df = collect_pandas(
+            dup_winners, ["url", "warc_ts", "content_hash", "n_win_copies"])
+    win_map = dict(zip(win_df["url"], zip(win_df["warc_ts"], win_df["content_hash"])))
+    tie_urls = sorted(win_df.loc[win_df["n_win_copies"] > 1, "url"])
     if not win_map:
         return docs_ds
     ref = ray.put(win_map)
@@ -239,7 +241,7 @@ def dedup_urls_meta(pages_ds, cfg: KGConfig):
     metadata read and losers are never parsed at all."""
     import pandas as pd
 
-    from ..state.groupby import partition_reduce
+    from ..state.groupby import collect_pandas, partition_reduce
 
     pages_ds = filter_langs(pages_ds, cfg)  # dedup must see post-filter rows
     proj = pages_ds.select_columns(["url", "warc_ts"]).materialize()
@@ -264,16 +266,17 @@ def dedup_urls_meta(pages_ds, cfg: KGConfig):
 
     n_rows = proj.count()  # metadata-only: proj is materialized
     if n_rows <= cfg.driver_dedup_max:
-        win_rows = winners(proj.to_pandas()).to_dict("records")
+        win_df = winners(proj.to_pandas())
     else:
         dup_winners = partition_reduce(
             proj, ["url"], winners, num_partitions=64
         ).materialize()
         if dup_winners.count() > cfg.winners_broadcast_max:
             return _dedup_meta_join_tier(pages_ds, dup_winners, cfg)
-        win_rows = dup_winners.take_all()
-    win_map = {r["url"]: r["warc_ts"] for r in win_rows}
-    tie_urls = sorted(r["url"] for r in win_rows if r["n_at_max"] > 1)
+        # Arrow-concat collect, never per-row take_all
+        win_df = collect_pandas(dup_winners, ["url", "warc_ts", "n_at_max"])
+    win_map = dict(zip(win_df["url"], win_df["warc_ts"]))
+    tie_urls = sorted(win_df.loc[win_df["n_at_max"] > 1, "url"])
     if not win_map:
         return extract_docs(pages_ds, cfg)
     ref = ray.put(win_map)

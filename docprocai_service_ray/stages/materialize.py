@@ -317,8 +317,11 @@ def canonicalize_via_join(triples_raw_ds, entity_map_ds, *, buckets: int = 32):
 
 
 def entity_map_to_dict(entity_map_ds) -> dict[str, str]:
-    """Collect the (vocab-sized) entity map for broadcast."""
-    return {
-        r["surface"]: r["canonical_id"]
-        for r in entity_map_ds.select_columns(["surface", "canonical_id"]).take_all()
-    }
+    """Collect the (vocab-sized) entity map for broadcast — via
+    ``to_pandas()`` (Arrow block concat), never per-row ``take_all()``."""
+    from ..state.groupby import collect_pandas
+
+    df = collect_pandas(
+        entity_map_ds.select_columns(["surface", "canonical_id"]),
+        ["surface", "canonical_id"])
+    return dict(zip(df["surface"], df["canonical_id"]))
