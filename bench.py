@@ -54,6 +54,8 @@ QUERY_NAMES = [
     "top_orders_per_priority",
     "customer_running_spend",
     "revenue_rollup",
+    # point-in-interval join (time-bucket replication)
+    "followup_orders",
 ]
 
 

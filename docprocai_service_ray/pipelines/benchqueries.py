@@ -505,6 +505,50 @@ def revenue_rollup(sf_dir: str):
     )
 
 
+def followup_orders(sf_dir: str, strategy: str = "auto"):
+    """Point-in-interval join (state/joins.interval_join): each order
+    matched to every EARLIER order by the same customer whose 90-day
+    follow-up window contains it — the many-to-many inequality-join shape
+    neither hash nor as-of joins express. Aggregated per window priority."""
+    from ..state.joins import interval_join
+
+    points = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    windows_src = _pq(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "w_orderkey": df["o_orderkey"],
+            "o_custkey": df["o_custkey"],
+            "w_start": df["o_orderdate"],
+            "w_end": df["o_orderdate"] + pd.Timedelta(days=90),
+            "w_priority": df["o_orderpriority"],
+        })
+
+    j = interval_join(
+        points,
+        windows_src.map_batches(windows, batch_format="pandas"),
+        on="o_orderdate", right_start="w_start", right_end="w_end",
+        by=["o_custkey"], bucket_width=pd.Timedelta(days=90), strategy=strategy,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderkey"] != df["w_orderkey"]]  # drop the self-pair
+        return df.groupby("w_priority", as_index=False).agg(
+            n=("o_totalprice", "size"), s=("o_totalprice", "sum")
+        )
+
+    return _grouped_final(
+        j.map_batches(partial, batch_format="pandas"),
+        ["w_priority"],
+        {"n": ("n", "sum"), "followup_total": ("s", "sum")},
+        post=lambda df: df.assign(n=df["n"].astype("int64"),
+                                  followup_total=df["followup_total"].round(2)),
+        num_partitions=4,
+    )
+
+
 def region_customer_rollup(sf_dir: str):
     """Three-way dimension join (region ⋈ nation ⋈ customer) with both tiny
     dims broadcast — the star-schema lookup shape."""
@@ -827,6 +871,26 @@ SQL: dict[str, str] = {
                COUNT(*) AS n_lines
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    "followup_orders": """
+        SELECT w.o_orderpriority AS w_priority, COUNT(*) AS n,
+               ROUND(SUM(p.o_totalprice), 2) AS followup_total
+        FROM orders p JOIN orders w
+          ON p.o_custkey = w.o_custkey
+         AND p.o_orderdate >= w.o_orderdate
+         AND p.o_orderdate < w.o_orderdate + INTERVAL 90 DAY
+         AND p.o_orderkey <> w.o_orderkey
+        GROUP BY 1
+    """,
+    "followup_orders_shuffle": """
+        SELECT w.o_orderpriority AS w_priority, COUNT(*) AS n,
+               ROUND(SUM(p.o_totalprice), 2) AS followup_total
+        FROM orders p JOIN orders w
+          ON p.o_custkey = w.o_custkey
+         AND p.o_orderdate >= w.o_orderdate
+         AND p.o_orderdate < w.o_orderdate + INTERVAL 90 DAY
+         AND p.o_orderkey <> w.o_orderkey
+        GROUP BY 1
+    """,
     "session_stats_q": """
         WITH d AS (
             SELECT user_id,
@@ -910,6 +974,8 @@ QUERIES = {
     "top_orders_per_priority": top_orders_per_priority,
     "customer_running_spend": customer_running_spend,
     "revenue_rollup": revenue_rollup,
+    "followup_orders": followup_orders,
+    "followup_orders_shuffle": lambda sf: followup_orders(sf, strategy="shuffle"),
     "region_customer_rollup": region_customer_rollup,
     "supplier_nation_stats": supplier_nation_stats,
     "exact_dedup_docs": exact_dedup_docs,

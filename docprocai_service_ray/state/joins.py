@@ -512,3 +512,76 @@ def asof_join(
         )
 
     return both.groupby("__part").map_groups(_merge, batch_format="pandas")
+
+
+def _axis_i64(s: pd.Series) -> np.ndarray:
+    """Normalize a join axis to int64 (datetime64 → epoch-ns)."""
+    if np.issubdtype(s.dtype, np.datetime64):
+        return s.astype("datetime64[ns]").astype("int64").to_numpy()
+    return s.astype("int64").to_numpy()
+
+
+def interval_join(left, right, *, on: str, right_start: str, right_end: str,
+                  by: list[str] | None = None, bucket_width,
+                  strategy: str = "auto", suffixes=("", "_r")):
+    """Point-in-interval join: each left row (point ``on`` = t) matched to
+    every right row whose half-open interval satisfies
+    ``right_start <= t < right_end``, with an optional equality prefix
+    ``by`` — the inequality-join shape (sessions × maintenance windows,
+    events × promo periods) that neither hash nor as-of joins express.
+
+    Distributed via time-bucket replication: the axis is bucketed at
+    ``bucket_width`` (a number, or ``pd.Timedelta`` for timestamps); each
+    RIGHT interval is replicated to every bucket it overlaps while each
+    LEFT point carries exactly ONE bucket tag, so every matching pair
+    meets in exactly one bucket — no dedup pass. The bucketed equality
+    join then rides :func:`hash_join`'s auto tier (broadcast small side /
+    partitioned shuffle), and the band predicate is applied vectorized
+    inside the result batches.
+
+    Scale contract: replication per interval is
+    ``ceil(interval_len / bucket_width) + 1`` copies — pick a width on the
+    order of the typical interval length so the right side grows O(1)-fold.
+    Degenerate (empty/negative) intervals replicate zero times and match
+    nothing.
+    """
+    width = int(pd.Timedelta(bucket_width).value) if not isinstance(
+        bucket_width, (int, float)) else int(bucket_width)
+    if width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    by = by or []
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__tb"] = _axis_i64(df[on]) // width
+        return df
+
+    def explode_right(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df.copy()
+            out["__tb"] = pd.Series([], dtype="int64")
+            return out
+        b0 = _axis_i64(df[right_start]) // width
+        b1 = (_axis_i64(df[right_end]) - 1) // width  # end is exclusive
+        reps = np.maximum(b1 - b0 + 1, 0)
+        out = df.iloc[np.repeat(np.arange(len(df)), reps)].copy()
+        offs = np.concatenate(([0], np.cumsum(reps)))[:-1]
+        out["__tb"] = np.repeat(b0, reps) + (
+            np.arange(int(reps.sum())) - np.repeat(offs, reps)
+        )
+        return out
+
+    joined = hash_join(
+        left.map_batches(tag_left, batch_format="pandas"),
+        right.map_batches(explode_right, batch_format="pandas"),
+        on=[*by, "__tb"],
+        strategy=strategy,
+        suffixes=suffixes,
+    )
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        t = _axis_i64(df[on])
+        keep = (_axis_i64(df[right_start]) <= t) & (t < _axis_i64(df[right_end]))
+        return df[keep].drop(columns="__tb")
+
+    return joined.map_batches(band, batch_format="pandas")
