@@ -543,11 +543,32 @@ _TOKEN_DF_SQL = """
 """
 
 
+# language-rebalancing rates for the stratified-sampling query: downsample
+# the majority language, keep most of the minority tails (the classic
+# training-mix reweighting move)
+_STRATA_RATES = {"en": 0.2, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8}
+
+
+def _stratified_docs_sample(sf_dir: str):
+    """Per-language deterministic rebalancing sample
+    (stages/sampling.stratified_sample): different keep-rate per stratum,
+    same content-hash predicate — a pure map, SQL-reproducible."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.sampling import stratified_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return stratified_sample(ds, "doc_id", "lang", _STRATA_RATES, seed=_CFG.seed)
+
+
 def _sampling_sql() -> dict[str, str]:
-    from docprocai_service_ray.stages.sampling import sample_sql_predicate
+    from docprocai_service_ray.stages.sampling import (
+        sample_sql_predicate,
+        stratified_sql_predicate,
+    )
 
     pred10 = sample_sql_predicate("doc_id", 0.10, seed=_CFG.seed)
     hold = sample_sql_predicate("doc_id", 0.2, seed=_CFG.seed)
+    strat = stratified_sql_predicate("doc_id", "lang", _STRATA_RATES, seed=_CFG.seed)
     return {
         "sample_docs": f"SELECT doc_id, lang, source FROM documents WHERE {pred10}",
         "train_holdout_counts": f"""
@@ -555,6 +576,8 @@ def _sampling_sql() -> dict[str, str]:
                    source, COUNT(*) AS n
             FROM documents GROUP BY 1, 2
         """,
+        "stratified_docs_sample":
+            f"SELECT doc_id, lang, source FROM documents WHERE {strat}",
     }
 
 
@@ -843,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "host_link_edges": _host_link_edges,
             "top_linked_hosts": _top_linked_hosts,
             "host_pagerank": _host_pagerank,
+            "stratified_docs_sample": _stratified_docs_sample,
         }
     )
     return q
@@ -871,6 +895,18 @@ def oracle_sql() -> dict[str, str]:
     from docprocai_service_ray.stages.tfidf import tfidf_sql
 
     sql["doc_top_terms"] = tfidf_sql("documents", "doc_id", "text", 3)
+    from docprocai_service_ray.pipelines.benchqueries import _ORDER_STATUSES
+    from docprocai_service_ray.stages.pivot import pivot_sql
+
+    sql["orders_status_pivot"] = pivot_sql(
+        "orders", ["o_orderpriority"], "o_orderstatus", _ORDER_STATUSES,
+        "o_totalprice", agg="sum", col_prefix="rev_",
+    )
+    from docprocai_service_ray.stages.quantiles import quantile_disc_sql
+
+    sql["value_quantiles_disc"] = quantile_disc_sql(
+        "events", "event_type", "value", [0.25, 0.5, 0.9],
+    )
     sql.update(_graph_sql())
     sql.update(_linkgraph_sql())
     sql.update(_golden_sql())

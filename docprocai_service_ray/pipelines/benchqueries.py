@@ -549,6 +549,32 @@ def followup_orders(sf_dir: str, strategy: str = "auto"):
     )
 
 
+_ORDER_STATUSES = ["F", "O", "P"]
+
+
+def orders_status_pivot(sf_dir: str):
+    """Long→wide pivot (stages/pivot.pivot_table): revenue per
+    (priority, status) as one wide row per priority — one wide partial row
+    per (priority, batch) crosses the exchange."""
+    from ..stages.pivot import pivot_table
+
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    return pivot_table(
+        ds, ["o_orderpriority"], "o_orderstatus", "o_totalprice",
+        agg="sum", categories=_ORDER_STATUSES, col_prefix="rev_",
+    )
+
+
+def value_quantiles_disc(sf_dir: str):
+    """PERCENTILE_DISC analog: smallest actual value covering each rank
+    (stages/quantiles.grouped_quantiles_disc; bit-matches DuckDB
+    quantile_disc)."""
+    from ..stages.quantiles import grouped_quantiles_disc
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles_disc(ds, "event_type", "value", [0.25, 0.5, 0.9])
+
+
 def region_customer_rollup(sf_dir: str):
     """Three-way dimension join (region ⋈ nation ⋈ customer) with both tiny
     dims broadcast — the star-schema lookup shape."""
@@ -976,6 +1002,8 @@ QUERIES = {
     "revenue_rollup": revenue_rollup,
     "followup_orders": followup_orders,
     "followup_orders_shuffle": lambda sf: followup_orders(sf, strategy="shuffle"),
+    "orders_status_pivot": orders_status_pivot,
+    "value_quantiles_disc": value_quantiles_disc,
     "region_customer_rollup": region_customer_rollup,
     "supplier_nation_stats": supplier_nation_stats,
     "exact_dedup_docs": exact_dedup_docs,

@@ -149,3 +149,42 @@ def quantile_sql(table: str, by: str, value_col: str, qs: list[float],
         for q in qs
     )
     return f"SELECT {by}, COUNT(*) AS n, {cols} FROM {table} GROUP BY 1"
+
+
+def grouped_quantiles_disc(ds, by: str, value_col: str, qs: list[float], *,
+                           num_partitions: int = 16, round_to: int = 6):
+    """Discrete grouped quantiles: the smallest group VALUE whose rank
+    covers q (DuckDB ``quantile_disc`` / SQL PERCENTILE_DISC) — always an
+    actual data point, never interpolated. Same co-location contract as
+    the exact continuous tier."""
+    from ..state.groupby import partition_reduce
+
+    names = [f"qd_{int(round(q * 100)):02d}" for q in qs]
+
+    def reduce(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in part.groupby(by, sort=False):
+            vals = np.sort(g[value_col].to_numpy(dtype=np.float64))
+            n = len(vals)
+            # PERCENTILE_DISC: value at rank ceil(q*n) (1-based)
+            idx = np.maximum(np.ceil(np.asarray(qs) * n).astype(np.int64), 1) - 1
+            rows.append({by: key, "n": np.int64(n),
+                         **{nm: round(float(vals[i]), round_to)
+                            for nm, i in zip(names, idx)}})
+        cols = [by, "n", *names]
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
+        return pd.DataFrame(rows)[cols]
+
+    return partition_reduce(ds, [by], reduce, num_partitions=num_partitions)
+
+
+def quantile_disc_sql(table: str, by: str, value_col: str, qs: list[float],
+                      round_to: int = 6) -> str:
+    cells = ", ".join(
+        f"ROUND(quantile_disc({value_col}, {q}), {round_to}) "
+        f"AS qd_{int(round(q * 100)):02d}"
+        for q in qs
+    )
+    return (f"SELECT {by}, COUNT(*) AS n, {cells} "
+            f"FROM {table} GROUP BY {by}")

@@ -100,3 +100,39 @@ def stratified_rates_check(sampled_ds, full_counts: dict, by: str) -> pa.Table:
     counts["total"] = counts[by].map(full_counts).astype("int64")
     counts["rate"] = counts["sampled"] / counts["total"]
     return pa.Table.from_pandas(counts, preserve_index=False)
+
+
+def stratified_sample(ds, key_col: str, strata_col: str,
+                      rates: dict[str, float], *, default_rate: float = 0.0,
+                      seed: int = 42, prefix: int = 4):
+    """Per-stratum deterministic sampling — the corpus-rebalancing op
+    (upsample minority languages/sources, downsample the head) — with a
+    DIFFERENT rate per ``strata_col`` value. Same content-hash predicate
+    as :func:`hash_sample`, so it is a pure map (no shuffle, no driver
+    state, parallelism-invariant) and exactly SQL-reproducible; strata not
+    in ``rates`` fall back to ``default_rate``."""
+    thr_map = {s: sample_threshold(r, prefix) for s, r in rates.items()}
+    default_thr = sample_threshold(default_rate, prefix)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash_prefix(df[key_col], seed, prefix)
+        thr = df[strata_col].map(thr_map).fillna(default_thr)
+        return df[h < thr]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def stratified_sql_predicate(key_col: str, strata_col: str,
+                             rates: dict[str, float], *,
+                             default_rate: float = 0.0, seed: int = 42,
+                             prefix: int = 4) -> str:
+    """The EXACT DuckDB predicate for :func:`stratified_sample`."""
+    h = (f"substr(md5('s{seed}' || chr(31) || CAST({key_col} AS VARCHAR)), "
+         f"1, {prefix})")
+    cases = "".join(
+        f"WHEN '{s}' THEN '{sample_threshold(r, prefix)}' "
+        for s, r in sorted(rates.items())
+    )
+    default_thr = sample_threshold(default_rate, prefix)
+    return (f"{h} < (CASE {strata_col} {cases}"
+            f"ELSE '{default_thr}' END)")
