@@ -907,6 +907,11 @@ def oracle_sql() -> dict[str, str]:
     sql["value_quantiles_disc"] = quantile_disc_sql(
         "events", "event_type", "value", [0.25, 0.5, 0.9],
     )
+    from docprocai_service_ray.stages.textstats import boilerplate_sql
+
+    sql["boilerplate_by_source"] = boilerplate_sql(
+        "documents", "doc_id", "text", "source",
+    )
     sql.update(_graph_sql())
     sql.update(_linkgraph_sql())
     sql.update(_golden_sql())

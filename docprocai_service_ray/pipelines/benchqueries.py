@@ -549,6 +549,27 @@ def followup_orders(sf_dir: str, strategy: str = "auto"):
     )
 
 
+def event_sessions(sf_dir: str):
+    """Row-level sessionization (stages/windows.sessionize): every event
+    tagged with its gap-based session ordinal — oracle = LAG() + running
+    SUM() windows."""
+    from ..stages.windows import sessionize
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return sessionize(ds, key_col="user_id", ts_col="ts", id_col="event_id",
+                      gap_minutes=30)
+
+
+def boilerplate_by_source(sf_dir: str):
+    """Cross-doc duplicated-sentence (boilerplate) ratio per source
+    (stages/textstats.boilerplate_stats) — sentence hashes exchange, text
+    never does."""
+    from ..stages.textstats import boilerplate_stats
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "text"])
+    return boilerplate_stats(ds, "doc_id", "text", "source")
+
+
 _ORDER_STATUSES = ["F", "O", "P"]
 
 
@@ -917,6 +938,22 @@ SQL: dict[str, str] = {
          AND p.o_orderkey <> w.o_orderkey
         GROUP BY 1
     """,
+    "event_sessions": """
+        WITH d AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_seq
+        FROM d
+    """,
     "session_stats_q": """
         WITH d AS (
             SELECT user_id,
@@ -1004,6 +1041,8 @@ QUERIES = {
     "followup_orders_shuffle": lambda sf: followup_orders(sf, strategy="shuffle"),
     "orders_status_pivot": orders_status_pivot,
     "value_quantiles_disc": value_quantiles_disc,
+    "event_sessions": event_sessions,
+    "boilerplate_by_source": boilerplate_by_source,
     "region_customer_rollup": region_customer_rollup,
     "supplier_nation_stats": supplier_nation_stats,
     "exact_dedup_docs": exact_dedup_docs,

@@ -150,3 +150,106 @@ def token_doc_frequency(ds, id_col: str, text_col: str, *, min_df: int = 1,
         ds.map_batches(partial, batch_format="pandas"),
         ["token"], final, num_partitions=num_partitions,
     )
+
+
+_SENT_SPLIT_RE = re.compile(r"\.\s+")
+
+
+def boilerplate_stats(ds, id_col: str, text_col: str, group_col: str, *,
+                      min_chars: int = 20, num_partitions: int = 16):
+    """Cross-document duplicated-sentence ratio per group — template /
+    boilerplate detection (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", substring-dup family at sentence
+    granularity): a sentence appearing in ≥2 docs is boilerplate; each
+    doc's dup ratio is its boilerplate share, averaged per ``group_col``.
+
+    Shape: explode+within-doc-dedup in-batch (one doc = one input row, so
+    per-batch dedup IS global per-doc dedup; sentences exchange as md5
+    hex digests, never text) → sentence-hash exchange computes per-sentence
+    doc counts and emits per-(doc, partition) partials → doc-keyed
+    exchange sums per-doc totals → tiny per-group final. Docs with no
+    qualifying sentence (< ``min_chars`` after the split) are excluded,
+    exactly like the SQL twin's inner join."""
+    from ..state.groupby import partition_reduce
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, grps, hs = [], [], []
+        for i, g, t in zip(df[id_col], df[group_col], df[text_col]):
+            if t is None:
+                continue
+            seen = set()
+            for s in _SENT_SPLIT_RE.split(t):
+                s = s.strip()
+                if len(s) >= min_chars and s not in seen:
+                    seen.add(s)
+                    hs.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+            ids.extend([i] * (len(hs) - len(ids)))
+            grps.extend([g] * (len(hs) - len(grps)))
+        return pd.DataFrame({id_col: ids, group_col: grps, "h": hs})
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+
+    def per_sentence(part: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (doc, sentence); docs-per-sentence = row count
+        nd = part.groupby("h")["h"].transform("size")
+        flagged = part.assign(dup=(nd >= 2).astype("int64"))
+        return flagged.groupby([id_col, group_col], as_index=False).agg(
+            n_sents=("dup", "size"), n_dup=("dup", "sum")
+        )
+
+    per_doc_partials = partition_reduce(
+        exploded, ["h"], per_sentence, num_partitions=num_partitions,
+    )
+
+    def per_doc(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.groupby([id_col, group_col], as_index=False).agg(
+            n_sents=("n_sents", "sum"), n_dup=("n_dup", "sum")
+        )
+        d["ratio"] = d["n_dup"] / d["n_sents"]
+        return d.groupby(group_col, as_index=False).agg(
+            n_docs=("ratio", "size"), ratio_sum=("ratio", "sum")
+        )
+
+    per_group_partials = partition_reduce(
+        per_doc_partials, [id_col], per_doc, num_partitions=num_partitions,
+    )
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby(group_col, as_index=False).agg(
+            n_docs=("n_docs", "sum"), ratio_sum=("ratio_sum", "sum")
+        )
+        return pd.DataFrame({
+            group_col: out[group_col],
+            "n_docs": out["n_docs"].astype("int64"),
+            "avg_dup_ratio": (out["ratio_sum"] / out["n_docs"]).round(4),
+        })
+
+    return partition_reduce(per_group_partials, [group_col], final,
+                            num_partitions=4)
+
+
+def boilerplate_sql(table: str, id_col: str, text_col: str, group_col: str,
+                    min_chars: int = 20) -> str:
+    """DuckDB twin of :func:`boilerplate_stats` (same split regex, same
+    min-length gate, same ≥2-doc rule)."""
+    return f"""
+        WITH exploded AS (
+            SELECT {id_col}, {group_col},
+                   trim(unnest(regexp_split_to_array(
+                       coalesce({text_col}, ''), '\\.\\s+'))) AS sent
+            FROM {table}
+        ),
+        norm AS (
+            SELECT DISTINCT {id_col}, {group_col}, sent
+            FROM exploded WHERE length(sent) >= {min_chars}
+        ),
+        sdf AS (SELECT sent, COUNT(DISTINCT {id_col}) AS nd FROM norm GROUP BY 1),
+        per_doc AS (
+            SELECT n.{id_col}, n.{group_col}, COUNT(*) AS n_sents,
+                   SUM(CASE WHEN sdf.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+            FROM norm n JOIN sdf USING (sent) GROUP BY 1, 2
+        )
+        SELECT {group_col}, COUNT(*) AS n_docs,
+               ROUND(AVG(CAST(n_dup AS DOUBLE) / n_sents), 4) AS avg_dup_ratio
+        FROM per_doc GROUP BY 1
+    """

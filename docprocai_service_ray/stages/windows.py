@@ -183,3 +183,32 @@ def rollup_aggregate(ds, keys: list[str], val_col: str, *,
         ds.map_batches(partial, batch_format="pandas"), keys, final,
         num_partitions=num_partitions,
     )
+
+
+def sessionize(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", gap_minutes: int = 30,
+               num_partitions: int = 32):
+    """Row-level sessionization: every event tagged with its gap-based
+    session ordinal (``session_seq``, 1-based per key) — the per-row
+    companion to :func:`session_stats` (which only aggregates). Output is
+    row-per-event, so each key co-locates once; ``(ts, id)`` makes the
+    in-group order total, hence deterministic at any parallelism."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def reduce(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([key_col, ts_col, id_col], kind="stable")
+        ts = pd.to_datetime(part[ts_col])
+        new_key = part[key_col] != part[key_col].shift()
+        gap_break = (ts - ts.shift()) > gap
+        seq = (new_key | gap_break).astype("int64").groupby(
+            part[key_col], sort=False).cumsum()
+        return pd.DataFrame({
+            id_col: part[id_col],
+            key_col: part[key_col],
+            "session_seq": seq.astype("int64"),
+        })
+
+    return partition_reduce(
+        events_ds.select_columns([id_col, key_col, ts_col]), [key_col], reduce,
+        num_partitions=num_partitions,
+    )
