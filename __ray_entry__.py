@@ -549,6 +549,18 @@ _TOKEN_DF_SQL = """
 _STRATA_RATES = {"en": 0.2, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8}
 
 
+def _similar_surfaces(sf_dir: str):
+    """Entity-resolution fuzzy self-join: edit-distance-≤1 surface pairs
+    from the LIVE pipeline's entity map via deletion-neighborhood blocking
+    (stages/dedup.fuzzy_pairs — no false negatives at radius 1); the
+    oracle cross-joins the GOLDEN entity map with DuckDB levenshtein, so
+    blocking completeness is externally checked."""
+    from docprocai_service_ray.stages.dedup import fuzzy_pairs
+
+    surfaces = _kg_run(sf_dir)["entity_map"].select_columns(["surface"])
+    return fuzzy_pairs(surfaces, "surface")
+
+
 def _stratified_docs_sample(sf_dir: str):
     """Per-language deterministic rebalancing sample
     (stages/sampling.stratified_sample): different keep-rate per stratum,
@@ -867,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "top_linked_hosts": _top_linked_hosts,
             "host_pagerank": _host_pagerank,
             "stratified_docs_sample": _stratified_docs_sample,
+            "similar_surfaces": _similar_surfaces,
         }
     )
     return q
@@ -912,6 +925,14 @@ def oracle_sql() -> dict[str, str]:
     sql["boilerplate_by_source"] = boilerplate_sql(
         "documents", "doc_id", "text", "source",
     )
+    emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
+    sql["similar_surfaces"] = f"""
+        SELECT a.surface AS s1, b.surface AS s2,
+               CAST(levenshtein(a.surface, b.surface) AS BIGINT) AS d
+        FROM read_parquet('{emap}') a, read_parquet('{emap}') b
+        WHERE a.surface < b.surface
+          AND levenshtein(a.surface, b.surface) <= 1
+    """
     sql.update(_graph_sql())
     sql.update(_linkgraph_sql())
     sql.update(_golden_sql())

@@ -393,3 +393,76 @@ def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3):
         ),
         ["id_a", "id_b"],
     )
+
+
+def _lev_le1(a: str, b: str) -> int | None:
+    """Exact edit distance if ≤1, else None — O(len) two-pointer check
+    (no DP table needed at this radius)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return None
+    if la == lb:
+        return 1 if sum(x != y for x, y in zip(a, b)) == 1 else None
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else None
+
+
+def fuzzy_pairs(ds, text_col: str, *, num_partitions: int = 32):
+    """Edit-distance-≤1 string pairs via deletion-neighborhood blocking
+    (the SymSpell family — Garbe's symmetric-delete scheme): every string
+    emits itself plus its ``len`` one-deletion variants as block keys. Two
+    strings within distance 1 ALWAYS share a key (equal; one is a deletion
+    of the other; same-position substitution ⇒ equal after deleting that
+    position), so the blocking has no false negatives, and candidate
+    verification is an exact O(len) check — no quadratic all-pairs, no DP.
+
+    The exchange moves (key, string) rows (strings are surface-sized by
+    contract — this is an entity-resolution op, not a document op); a pair
+    sharing several keys is deduped with one distinct pass. Output:
+    (s1, s2, d) with s1 < s2, d ∈ {0, 1}; distance-0 pairs only arise
+    from duplicate input rows.
+    """
+    from ..state.groupby import distinct_rows, partition_reduce
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        ks, ss = [], []
+        for s in df[text_col].dropna():
+            ks.append(s)
+            ss.append(s)
+            for i in range(len(s)):
+                ks.append(s[:i] + s[i + 1:])
+                ss.append(s)
+        return pd.DataFrame({"key": ks, "s": ss}).drop_duplicates()
+
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in part.groupby("key", sort=False):
+            vals = sorted(set(g["s"]))
+            for i in range(len(vals)):
+                for j in range(i + 1, len(vals)):
+                    out_a.append(vals[i])
+                    out_b.append(vals[j])
+        return pd.DataFrame({"s1": out_a, "s2": out_b}).drop_duplicates()
+
+    cands = distinct_rows(
+        partition_reduce(
+            ds.map_batches(keys, batch_format="pandas"), ["key"],
+            bucket_pairs, num_partitions=num_partitions,
+        ),
+        ["s1", "s2"], num_partitions=num_partitions,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ds_ = [_lev_le1(a, b) for a, b in zip(df["s1"], df["s2"])]
+        keep = [d is not None for d in ds_]
+        out = df[keep].copy()
+        out["d"] = pd.array([d for d in ds_ if d is not None], dtype="int64")
+        return out
+
+    return cands.map_batches(verify, batch_format="pandas")

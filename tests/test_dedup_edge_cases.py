@@ -85,3 +85,47 @@ def test_oracle_edge_semantics():
     # C: exactly one copy
     assert sum(1 for d in docs if d["url"] == "https://c.test/") == 1
     assert len(docs) == 3
+
+
+class TestFuzzyPairs:
+    """Deletion-neighborhood fuzzy self-join (stages/dedup.fuzzy_pairs)."""
+
+    def _run(self, strings, blocks=3):
+        import pandas as pd
+        import ray.data as rd
+
+        from docprocai_service_ray.stages.dedup import fuzzy_pairs
+
+        ds = rd.from_pandas(pd.DataFrame({"s": strings})).repartition(blocks)
+        df = fuzzy_pairs(ds, "s").to_pandas()
+        return {(a, b): d for a, b, d in zip(df["s1"], df["s2"], df["d"])}
+
+    def test_substitution_insertion_deletion_found(self):
+        got = self._run(["alpha", "alphb", "alpha7", "lpha", "zzzz"])
+        assert got[("alpha", "alphb")] == 1   # substitution
+        assert got[("alpha", "alpha7")] == 1  # insertion
+        assert got[("alpha", "lpha")] == 1    # deletion
+        assert ("alpha", "zzzz") not in got   # distance > 1 excluded
+
+    def test_matches_brute_force(self):
+        import itertools
+        import random
+
+        rng = random.Random(9)
+        base = ["".join(rng.choice("ab") for _ in range(5)) for _ in range(60)]
+        strings = sorted(set(base))
+        got = set(self._run(strings, blocks=7))
+
+        def lev(a, b):
+            import numpy as np
+            d = np.arange(len(b) + 1)
+            for i, ca in enumerate(a, 1):
+                prev, d[0] = d[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                           prev + (ca != cb))
+            return d[-1]
+
+        want = {(a, b) for a, b in itertools.combinations(strings, 2)
+                if lev(a, b) <= 1}
+        assert got == want  # blocking complete AND verification exact
