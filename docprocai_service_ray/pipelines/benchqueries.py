@@ -570,6 +570,47 @@ def boilerplate_by_source(sf_dir: str):
     return boilerplate_stats(ds, "doc_id", "text", "source")
 
 
+def label_centroids_q(sf_dir: str):
+    """Grouped vector aggregate (stages/similarity.label_centroids):
+    per-label embedding centroid, long-form output so DuckDB can check it
+    with list indexing."""
+    from ..stages.similarity import label_centroids
+
+    ds = _pq(sf_dir, "embeddings", ["label", "embedding"])
+    return label_centroids(ds, "label", "embedding", 64)
+
+
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER hash join: every customer row survives, idle customers
+    carry zero counts (null-fill after the join) — J6 lookup-with-default
+    as a SQL-checked query."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n=("o_totalprice", "size"), s=("o_totalprice", "sum")
+        )
+        return g.rename(columns={"o_custkey": "c_custkey"})
+
+    counts = _grouped_final(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["c_custkey"],
+        {"n": ("n", "sum"), "s": ("s", "sum")},
+        num_partitions=8,
+    )
+    j = hash_join(cust, counts, on="c_custkey", how="left")
+    return j.map_batches(
+        lambda df: pd.DataFrame({
+            "c_custkey": df["c_custkey"],
+            "c_mktsegment": df["c_mktsegment"],
+            "n_orders": df["n"].fillna(0).astype("int64"),
+            "total_spend": df["s"].fillna(0.0).round(2),
+        }),
+        batch_format="pandas",
+    )
+
+
 _ORDER_STATUSES = ["F", "O", "P"]
 
 
@@ -938,6 +979,18 @@ SQL: dict[str, str] = {
          AND p.o_orderkey <> w.o_orderkey
         GROUP BY 1
     """,
+    "label_centroids": """
+        SELECT label, i AS dim, ROUND(AVG(embedding[i + 1]), 6) AS avg_v
+        FROM embeddings, range(64) t(i)
+        GROUP BY 1, 2
+    """,
+    "customer_order_counts": """
+        SELECT c_custkey, c_mktsegment,
+               CAST(COUNT(o_custkey) AS BIGINT) AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    """,
     "event_sessions": """
         WITH d AS (
             SELECT event_id, user_id, ts,
@@ -1043,6 +1096,8 @@ QUERIES = {
     "value_quantiles_disc": value_quantiles_disc,
     "event_sessions": event_sessions,
     "boilerplate_by_source": boilerplate_by_source,
+    "label_centroids": label_centroids_q,
+    "customer_order_counts": customer_order_counts,
     "region_customer_rollup": region_customer_rollup,
     "supplier_nation_stats": supplier_nation_stats,
     "exact_dedup_docs": exact_dedup_docs,

@@ -268,3 +268,50 @@ def ivf_topk(ds, query: np.ndarray, k: int, *, dim: int, n_lists: int = 64,
     ).drop_columns(["ivf_list"])
     return brute_force_topk(cand, q, k, id_col=id_col, emb_col=emb_col,
                             extra_cols=extra_cols)
+
+
+def label_centroids(ds, label_col: str, vec_col: str, dim: int, *,
+                    num_partitions: int = 8, round_to: int = 6):
+    """Per-label embedding centroid in long form (label, dim, avg_v) —
+    the grouped VECTOR aggregate (class prototypes / cluster centers for
+    IVF seeding or nearest-class-mean labeling). Per-batch partial = one
+    np.vstack + index_add per label (O(batch) flops, one partial row per
+    (label, batch) — the exchange never carries raw vectors), final =
+    grouped sum + divide, exploded to one row per (label, dim) so the
+    output is SQL-comparable."""
+    import pandas as pd
+
+    from ..state.groupby import partition_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
+        labels, inv = np.unique(df[label_col].to_numpy(), return_inverse=True)
+        sums = np.zeros((len(labels), dim))
+        np.add.at(sums, inv, vecs)
+        counts = np.bincount(inv, minlength=len(labels))
+        return pd.DataFrame({
+            label_col: labels,
+            "n": counts.astype("int64"),
+            "s": [row.tobytes() for row in sums],
+        })
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        rows_l, rows_d, rows_v = [], [], []
+        for lab, g in part.groupby(label_col, sort=False):
+            tot = np.zeros(dim)
+            for payload in g["s"]:
+                tot += np.frombuffer(payload, dtype=np.float64)
+            avg = np.round(tot / g["n"].sum(), round_to)
+            rows_l.extend([lab] * dim)
+            rows_d.extend(range(dim))
+            rows_v.extend(avg.tolist())
+        return pd.DataFrame({
+            label_col: pd.array(rows_l),
+            "dim": pd.array(rows_d, dtype="int64"),
+            "avg_v": pd.array(rows_v, dtype="float64"),
+        })
+
+    return partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"), [label_col], final,
+        num_partitions=num_partitions,
+    )
