@@ -99,6 +99,15 @@ def _top_linked_hosts(sf_dir: str):
     return top_linked_hosts(_corpus_pages(sf_dir, ["url", "html"]), 10)
 
 
+def _anchor_terms(sf_dir: str):
+    """Anchor-text index (stages/linkgraph.anchor_text_terms): per-host
+    term counts from cross-host anchor text — the external-description
+    signal for host/entity profiling."""
+    from docprocai_service_ray.stages.linkgraph import anchor_text_terms
+
+    return anchor_text_terms(_corpus_pages(sf_dir, ["url", "html"]))
+
+
 def _host_pagerank(sf_dir: str):
     """PageRank over the REAL hyperlink structure of the corpus (host
     graph) — reuses stages/graph.pagerank's size-gated tiers; golden-frozen
@@ -122,10 +131,13 @@ def _linkgraph_sql() -> dict[str, str]:
     root = corpus_path(n, _CFG.seed, _CFG.embedding_dim)
     if not os.path.exists(os.path.join(root, "_SUCCESS")) and ray.is_initialized():
         ensure_corpus(n, _CFG.seed, _CFG.embedding_dim)
+    from docprocai_service_ray.stages.linkgraph import anchor_terms_sql
+
     glob = os.path.join(root, "web_pages", "*.parquet")
     return {
         "host_link_edges": linkgraph_sql(glob),
         "top_linked_hosts": top_hosts_sql(glob, 10),
+        "anchor_terms": anchor_terms_sql(glob),
     }
 
 
@@ -878,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "host_link_edges": _host_link_edges,
             "top_linked_hosts": _top_linked_hosts,
             "host_pagerank": _host_pagerank,
+            "anchor_terms": _anchor_terms,
             "stratified_docs_sample": _stratified_docs_sample,
             "similar_surfaces": _similar_surfaces,
         }

@@ -128,3 +128,37 @@ class TestCorpusParity:
         top = top_linked_hosts(pages, 5).to_pandas()
         assert len(top) == 5
         assert list(top["in_links"]) == sorted(top["in_links"], reverse=True)
+
+
+class TestAnchorTerms:
+    def test_cross_host_tokenized_counts(self):
+        from docprocai_service_ray.stages.linkgraph import anchor_text_terms
+
+        html = (
+            b"<a href='/about'>Same Host Nav</a>"
+            b"<a href='https://b.example/x'>Great Site B</a>"
+            b"<a href='https://b.example/y'>site b again</a>"
+            b"<a href='mailto:x@y'>mail</a>"
+        )
+        ds = _pages_ds([("https://a.example/1", html)])
+        got = anchor_text_terms(ds).to_pandas()
+        counts = {(r.dst_host, r.term): r.n for r in got.itertuples()}
+        assert counts == {
+            ("b.example", "great"): 1,
+            ("b.example", "site"): 2,
+            ("b.example", "b"): 2,
+            ("b.example", "again"): 1,
+        }
+
+    def test_hub_anchor_terms_on_corpus(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from docprocai_service_ray.sources.webgen import pages_table
+        from docprocai_service_ray.stages.linkgraph import anchor_text_terms
+
+        p = str(tmp_path / "pages.parquet")
+        pq.write_table(pages_table(42, list(range(200))), p)
+        got = anchor_text_terms(rd.read_parquet(p, columns=["url", "html"])).to_pandas()
+        # generator anchors read "site N" — the term 'site' must dominate
+        by_term = got.groupby("term")["n"].sum()
+        assert by_term.idxmax() == "site"
