@@ -561,6 +561,17 @@ _TOKEN_DF_SQL = """
 _STRATA_RATES = {"en": 0.2, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8}
 
 
+def _weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sampling without replacement (exp-key /
+    Efraimidis-Spirakis with content-hash uniforms): longer docs
+    proportionally likelier — stages/sampling.weighted_sample."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.sampling import weighted_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return weighted_sample(ds, "doc_id", "n_chars", 25, seed=_CFG.seed)
+
+
 def _similar_surfaces(sf_dir: str):
     """Entity-resolution fuzzy self-join: edit-distance-≤1 surface pairs
     from the LIVE pipeline's entity map via deletion-neighborhood blocking
@@ -588,6 +599,7 @@ def _sampling_sql() -> dict[str, str]:
     from docprocai_service_ray.stages.sampling import (
         sample_sql_predicate,
         stratified_sql_predicate,
+        weighted_sample_sql,
     )
 
     pred10 = sample_sql_predicate("doc_id", 0.10, seed=_CFG.seed)
@@ -602,6 +614,10 @@ def _sampling_sql() -> dict[str, str]:
         """,
         "stratified_docs_sample":
             f"SELECT doc_id, lang, source FROM documents WHERE {strat}",
+        "weighted_sample_docs": weighted_sample_sql(
+            "documents", ["doc_id", "lang", "n_chars"], "doc_id", "n_chars",
+            25, seed=_CFG.seed,
+        ),
     }
 
 
@@ -893,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "anchor_terms": _anchor_terms,
             "stratified_docs_sample": _stratified_docs_sample,
             "similar_surfaces": _similar_surfaces,
+            "weighted_sample_docs": _weighted_sample_docs,
         }
     )
     return q

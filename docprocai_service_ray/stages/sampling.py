@@ -136,3 +136,59 @@ def stratified_sql_predicate(key_col: str, strata_col: str,
     default_thr = sample_threshold(default_rate, prefix)
     return (f"{h} < (CASE {strata_col} {cases}"
             f"ELSE '{default_thr}' END)")
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, k: int, *,
+                    seed: int = 42, round_to: int = 9):
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each row
+    draws u ~ U(0,1) FROM A CONTENT HASH of its key (no RNG state — the
+    same row gets the same draw at any parallelism, on any cluster, in
+    SQL) and scores ``exp_key = -ln(u) / weight``; the k SMALLEST keys
+    are exactly a weight-proportional sample without replacement.
+
+    Distributed shape: per-batch vectorized scoring + partial top-k
+    (nsmallest), then one tiny sort+limit — the brute_force_topk pattern.
+    Rows with weight <= 0 are excluded. Output: the sampled rows +
+    ``exp_key`` rounded for cross-engine comparison."""
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[weight_col] > 0]
+        if not len(df):
+            return df.assign(exp_key=pd.Series(dtype="float64"))
+        import numpy as np
+
+        tag = f"w{seed}\x1f"
+        u = np.fromiter(
+            (
+                (int(hashlib.md5((tag + str(v)).encode()).hexdigest()[:8], 16) + 1)
+                / 4294967296.0
+                for v in df[key_col]
+            ),
+            dtype=np.float64, count=len(df),
+        )
+        ek = -np.log(u) / df[weight_col].to_numpy(dtype=np.float64)
+        out = df.assign(exp_key=np.round(ek, round_to))
+        return out.nsmallest(k, ["exp_key", key_col])
+
+    return (
+        ds.map_batches(score, batch_format="pandas")
+        .sort(["exp_key", key_col])
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(table: str, cols: list[str], key_col: str,
+                        weight_col: str, k: int, *, seed: int = 42,
+                        round_to: int = 9) -> str:
+    """DuckDB twin of :func:`weighted_sample` — same hash, same
+    exponential key, same tiebreak."""
+    u = (f"((('0x' || substr(md5('w{seed}' || chr(31) || "
+         f"CAST({key_col} AS VARCHAR)), 1, 8))::BIGINT + 1) / 4294967296.0)")
+    sel = ", ".join(cols)
+    return f"""
+        SELECT {sel}, ROUND(-LN({u}) / {weight_col}, {round_to}) AS exp_key
+        FROM {table}
+        WHERE {weight_col} > 0
+        ORDER BY exp_key, {key_col} LIMIT {k}
+    """

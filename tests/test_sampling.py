@@ -170,3 +170,39 @@ class TestSketchQuantiles:
         ex = grouped_quantiles(rd.from_pandas(df), "g", "v", [0.5]).to_pandas()
         assert abs(sk["q_50"][0] - ex["q_50"][0]) < 0.05
         assert sk["n"][0] == ex["n"][0] == 30_000
+
+
+class TestWeightedSample:
+    def test_weight_proportional_and_deterministic(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from docprocai_service_ray.stages.sampling import weighted_sample
+
+        df = pd.DataFrame({
+            "id": range(400),
+            "w": [100.0 if i < 40 else 1.0 for i in range(400)],
+        })
+        ds = rd.from_pandas(df).repartition(5)
+        # across 12 seeds, the 10% heavy rows (100x weight) must dominate
+        heavy = 0
+        for seed in range(12):
+            got = weighted_sample(ds, "id", "w", 20, seed=seed).to_pandas()
+            assert len(got) == 20
+            heavy += (got["id"] < 40).sum()
+        assert heavy / (12 * 20) > 0.75
+        a = weighted_sample(ds, "id", "w", 20, seed=3).to_pandas()
+        b = weighted_sample(
+            rd.from_pandas(df).repartition(17), "id", "w", 20, seed=3
+        ).to_pandas()
+        assert a["id"].tolist() == b["id"].tolist()  # parallelism-invariant
+
+    def test_nonpositive_weights_excluded(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from docprocai_service_ray.stages.sampling import weighted_sample
+
+        df = pd.DataFrame({"id": [1, 2, 3], "w": [0.0, -1.0, 5.0]})
+        got = weighted_sample(rd.from_pandas(df), "id", "w", 10).to_pandas()
+        assert got["id"].tolist() == [3]
