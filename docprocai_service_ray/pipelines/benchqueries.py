@@ -637,6 +637,52 @@ def value_quantiles_disc(sf_dir: str):
     return grouped_quantiles_disc(ds, "event_type", "value", [0.25, 0.5, 0.9])
 
 
+def revenue_cube(sf_dir: str):
+    """One-pass GROUP BY CUBE (stages/windows.cube_aggregate): all 2^k
+    grouping subsets from the same per-batch finest partials."""
+    from ..stages.windows import cube_aggregate
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+    with_rev = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "rev": df["l_extendedprice"] * (1 - df["l_discount"]),
+        }),
+        batch_format="pandas",
+    )
+    return cube_aggregate(
+        with_rev, ["l_returnflag", "l_linestatus"], "rev",
+        sum_col="revenue", count_col="n_lines",
+    )
+
+
+def order_price_quartiles(sf_dir: str):
+    """NTILE(4) per order priority (stages/windows.grouped_ntile),
+    aggregated per (priority, tile) so the SQL window oracle checks every
+    tile boundary exactly."""
+    from ..stages.windows import grouped_ntile
+
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    tiled = grouped_ntile(ds, ["o_orderpriority"], "o_totalprice", 4,
+                          tiebreak=["o_orderkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_orderpriority", "tile"], as_index=False).agg(
+            n=("o_totalprice", "size"), s=("o_totalprice", "sum")
+        )
+
+    return _grouped_final(
+        tiled.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority", "tile"],
+        {"n": ("n", "sum"), "sum_price": ("s", "sum")},
+        post=lambda df: df.assign(n=df["n"].astype("int64"),
+                                  sum_price=df["sum_price"].round(2)),
+        num_partitions=4,
+    )
+
+
 def region_customer_rollup(sf_dir: str):
     """Three-way dimension join (region ⋈ nation ⋈ customer) with both tiny
     dims broadcast — the star-schema lookup shape."""
@@ -979,6 +1025,24 @@ SQL: dict[str, str] = {
          AND p.o_orderkey <> w.o_orderkey
         GROUP BY 1
     """,
+    "revenue_cube": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "order_price_quartiles": """
+        WITH t AS (
+            SELECT o_orderpriority, o_totalprice,
+                   NTILE(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS tile
+            FROM orders
+        )
+        SELECT o_orderpriority, CAST(tile AS BIGINT) AS tile, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM t GROUP BY 1, 2
+    """,
     "label_centroids": """
         SELECT label, i AS dim, ROUND(AVG(embedding[i + 1]), 6) AS avg_v
         FROM embeddings, range(64) t(i)
@@ -1098,6 +1162,8 @@ QUERIES = {
     "boilerplate_by_source": boilerplate_by_source,
     "label_centroids": label_centroids_q,
     "customer_order_counts": customer_order_counts,
+    "revenue_cube": revenue_cube,
+    "order_price_quartiles": order_price_quartiles,
     "region_customer_rollup": region_customer_rollup,
     "supplier_nation_stats": supplier_nation_stats,
     "exact_dedup_docs": exact_dedup_docs,

@@ -212,3 +212,70 @@ def sessionize(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
         events_ds.select_columns([id_col, key_col, ts_col]), [key_col], reduce,
         num_partitions=num_partitions,
     )
+
+
+def cube_aggregate(ds, keys: list[str], val_col: str, *,
+                   total_label: str = "ALL", num_partitions: int = 16,
+                   sum_col: str = "total", count_col: str = "n",
+                   round_to: int | None = 2):
+    """Grouped sum+count at EVERY subset of ``keys`` (``GROUP BY CUBE``) in
+    one pass — same finest-partial expansion as :func:`rollup_aggregate`
+    but over all 2^k masks instead of the k+1 prefixes. ``keys`` is
+    small by contract (2^k output families)."""
+    n_keys = len(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        finest = df.groupby(keys, as_index=False).agg(
+            __s=(val_col, "sum"), __n=(val_col, "size")
+        )
+        levels = []
+        for mask in range(1 << n_keys):
+            rolled = finest.copy()
+            for i, c in enumerate(keys):
+                if mask & (1 << i):
+                    rolled[c] = total_label
+            levels.append(rolled)
+        out = pd.concat(levels, ignore_index=True)
+        return out.groupby(keys, as_index=False).agg(
+            __s=("__s", "sum"), __n=("__n", "sum")
+        )
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby(keys, as_index=False).agg(
+            **{sum_col: ("__s", "sum"), count_col: ("__n", "sum")}
+        )
+        if round_to is not None:
+            out[sum_col] = out[sum_col].round(round_to)
+        out[count_col] = out[count_col].astype("int64")
+        return out
+
+    return partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"), keys, final,
+        num_partitions=num_partitions,
+    )
+
+
+def grouped_ntile(ds, keys: list[str], order_col: str, n_tiles: int, *,
+                  tiebreak: list[str] | None = None, num_partitions: int = 32,
+                  tile_col: str = "tile"):
+    """NTILE(n) OVER (PARTITION BY keys ORDER BY order_col, tiebreak):
+    every row tagged with its n-quantile bucket (1-based, SQL NTILE fill
+    rule: the first ``n_rows % n`` tiles get the extra row). Row-per-input
+    output ⇒ each key co-locates once (running_group_agg's contract)."""
+    tiebreak = tiebreak or []
+
+    def reduce(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([*keys, order_col, *tiebreak], kind="stable")
+        rank = part.groupby(keys, sort=False).cumcount().to_numpy()
+        sizes = part.groupby(keys, sort=False)[order_col].transform("size").to_numpy()
+        base, extra = sizes // n_tiles, sizes % n_tiles
+        # first `extra` tiles have base+1 rows; SQL NTILE boundary rule
+        cut = extra * (base + 1)
+        tile = np.where(
+            rank < cut,
+            rank // np.maximum(base + 1, 1),
+            np.where(base > 0, extra + (rank - cut) // np.maximum(base, 1), rank),
+        )
+        return part.assign(**{tile_col: (tile + 1).astype("int64")})
+
+    return partition_reduce(ds, keys, reduce, num_partitions=num_partitions)

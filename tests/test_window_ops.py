@@ -102,3 +102,43 @@ class TestRollupAggregate:
             a.sort_values(key).reset_index(drop=True),
             b.sort_values(key).reset_index(drop=True),
         )
+
+
+class TestCubeAggregate:
+    def test_all_subsets_exact(self):
+        from docprocai_service_ray.stages.windows import cube_aggregate
+
+        df = pd.DataFrame({
+            "a": ["x", "x", "y"], "b": ["p", "q", "p"], "v": [1.0, 2.0, 4.0],
+        })
+        got = cube_aggregate(_ds(df, 2), ["a", "b"], "v").to_pandas()
+        rows = {(r.a, r.b): (r.total, r.n) for r in got.itertuples()}
+        assert rows[("x", "p")] == (1.0, 1)
+        assert rows[("ALL", "p")] == (5.0, 2)   # the subset ROLLUP can't emit
+        assert rows[("ALL", "q")] == (2.0, 1)
+        assert rows[("x", "ALL")] == (3.0, 2)
+        assert rows[("ALL", "ALL")] == (7.0, 3)
+        assert len(rows) == 3 + 2 + 2 + 1  # finest + per-a + per-b + total
+
+
+class TestGroupedNtile:
+    def test_sql_fill_rule_on_ragged_groups(self):
+        import duckdb
+
+        from docprocai_service_ray.stages.windows import grouped_ntile
+
+        rng = np.random.RandomState(13)
+        # group sizes deliberately not divisible by 4 (incl. sizes < 4)
+        df = pd.DataFrame({
+            "g": np.repeat(list("abcde"), [3, 7, 10, 13, 2]),
+            "uid": np.arange(35, dtype="int64"),
+            "v": rng.rand(35),
+        })
+        got = (grouped_ntile(_ds(df, 4), ["g"], "v", 4, tiebreak=["uid"])
+               .to_pandas().sort_values("uid").reset_index(drop=True))
+        con = duckdb.connect(); con.register("t", df)
+        want = con.execute(
+            "SELECT uid, NTILE(4) OVER (PARTITION BY g ORDER BY v, uid) AS tile"
+            " FROM t ORDER BY uid"
+        ).fetchdf()
+        assert got["tile"].tolist() == want["tile"].tolist()
