@@ -561,6 +561,21 @@ _TOKEN_DF_SQL = """
 _STRATA_RATES = {"en": 0.2, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8}
 
 
+def _kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table with
+    fixed-point (int64) centroid updates — integer sums are exactly
+    associative, so the clustering is BIT-identical at any parallelism
+    (stages/similarity.kmeans; reference-mirror + parallelism-invariance
+    + blob-recovery tests in tests/test_kmeans.py). Iterative float
+    fixpoint ⇒ golden-frozen."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.similarity import kmeans_cluster_sizes
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_cluster_sizes(ds, "vec_id", "embedding", 64, 8,
+                                iters=10, seed=_CFG.seed)
+
+
 def _weighted_sample_docs(sf_dir: str):
     """Deterministic weighted sampling without replacement (exp-key /
     Efraimidis-Spirakis with content-hash uniforms): longer docs
@@ -854,6 +869,9 @@ _GOLDEN_QUERIES = [
     # iterative float fixpoint over the host link graph (see
     # pagerank_entities note above); edges themselves are REAL-SQL-oracled
     "host_pagerank",
+    # iterative clustering; bit-deterministic via fixed-point updates
+    # (parallelism invariance + reference mirror in tests/test_kmeans.py)
+    "kmeans_embeddings",
 ]
 
 
@@ -910,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "stratified_docs_sample": _stratified_docs_sample,
             "similar_surfaces": _similar_surfaces,
             "weighted_sample_docs": _weighted_sample_docs,
+            "kmeans_embeddings": _kmeans_embeddings,
         }
     )
     return q
@@ -950,7 +969,11 @@ def oracle_sql() -> dict[str, str]:
     sql["value_quantiles_disc"] = quantile_disc_sql(
         "events", "event_type", "value", [0.25, 0.5, 0.9],
     )
-    from docprocai_service_ray.stages.textstats import boilerplate_sql
+    from docprocai_service_ray.stages.textstats import boilerplate_sql, corr_sql
+
+    sql["lineitem_price_corr"] = corr_sql(
+        "lineitem", "l_returnflag", "l_quantity", "l_extendedprice",
+    )
 
     sql["boilerplate_by_source"] = boilerplate_sql(
         "documents", "doc_id", "text", "source",

@@ -637,6 +637,17 @@ def value_quantiles_disc(sf_dir: str):
     return grouped_quantiles_disc(ds, "event_type", "value", [0.25, 0.5, 0.9])
 
 
+def lineitem_price_corr(sf_dir: str):
+    """Per-returnflag Pearson corr + OLS slope of quantity vs extended
+    price, from six sufficient statistics per (group, batch)
+    (stages/textstats.grouped_corr) — checked against DuckDB CORR /
+    REGR_SLOPE."""
+    from ..stages.textstats import grouped_corr
+
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
 def revenue_cube(sf_dir: str):
     """One-pass GROUP BY CUBE (stages/windows.cube_aggregate): all 2^k
     grouping subsets from the same per-batch finest partials."""
@@ -1164,6 +1175,7 @@ QUERIES = {
     "customer_order_counts": customer_order_counts,
     "revenue_cube": revenue_cube,
     "order_price_quartiles": order_price_quartiles,
+    "lineitem_price_corr": lineitem_price_corr,
     "region_customer_rollup": region_customer_rollup,
     "supplier_nation_stats": supplier_nation_stats,
     "exact_dedup_docs": exact_dedup_docs,

@@ -315,3 +315,145 @@ def label_centroids(ds, label_col: str, vec_col: str, dim: int, *,
         ds.map_batches(partial, batch_format="pandas"), [label_col], final,
         num_partitions=num_partitions,
     )
+
+
+_KMEANS_SCALE = float(1 << 32)  # fixed-point quantum for deterministic sums
+
+
+def kmeans(ds, id_col: str, vec_col: str, dim: int, k: int, *,
+           iters: int = 10, seed: int = 42, num_partitions: int = 8):
+    """Distributed Lloyd's k-means with BIT-DETERMINISTIC updates.
+
+    Float summation is order-dependent, so a naive distributed centroid
+    update changes in the last ulp with block layout — and argmin flips
+    can then cascade into different clusterings per run. Here every
+    per-batch partial quantizes vector sums to fixed-point int64
+    (scale 2^32); integer addition is exactly associative, so the merged
+    centroid is IDENTICAL at any parallelism, any arrival order — the
+    same determinism contract the rest of the engine keeps, which is what
+    lets the result be golden-frozen. Precision cost: ~2^-32 per element
+    (far below k-means' own tolerance). Overflow bound: rows-per-cluster ×
+    max|v| < 2^30 per partial — raise ``_KMEANS_SCALE`` awareness before
+    pointing this at unnormalized features.
+
+    Shape per iteration: broadcast centroids (k × dim floats) → one
+    argmin-matmul assignment per batch → k quantized partial rows per
+    batch → one partition_reduce. Raw vectors never re-shuffle.
+    Init: the k rows with the smallest md5(seed‖id) — content-addressed,
+    cluster-shape independent. Empty clusters keep their centroid.
+
+    Returns (centroids: np.ndarray [k, dim], assign_fn) where
+    ``assign_fn(ds)`` labels a dataset with ``cluster``.
+    """
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    from ..state.groupby import partition_reduce
+
+    def _hash_key(v) -> str:
+        return hashlib.md5(f"k{seed}\x1f{v}".encode()).hexdigest()
+
+    def seed_score(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "__h": [_hash_key(v) for v in df[id_col]],
+            id_col: df[id_col],
+            vec_col: df[vec_col],
+        })
+        return out.sort_values("__h").head(k)
+
+    seed_rows = (
+        ds.map_batches(seed_score, batch_format="pandas")
+        .sort("__h").limit(k).to_pandas()
+    )
+    centroids = np.vstack(seed_rows[vec_col].to_numpy()).astype(np.float64)
+
+    def make_assign(cent_ref):
+        def assign_partial(df: pd.DataFrame) -> pd.DataFrame:
+            cent = ray.get(cent_ref)
+            x = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
+            # argmin ||x-c||^2 == argmax (x·c - |c|^2/2); ties → lowest id
+            scores = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+            lab = np.argmax(scores, axis=1)
+            q = np.round(x * _KMEANS_SCALE).astype(np.int64)
+            rows = []
+            for c in np.unique(lab):
+                m = lab == c
+                rows.append({
+                    "cluster": int(c),
+                    "n": int(m.sum()),
+                    "qsum": q[m].sum(axis=0, dtype=np.int64).tobytes(),
+                })
+            return pd.DataFrame(rows)
+
+        return assign_partial
+
+    for _ in range(iters):
+        cent_ref = ray.put(centroids)
+
+        def merge(part: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for c, g in part.groupby("cluster", sort=False):
+                tot = np.zeros(dim, dtype=np.int64)
+                for payload in g["qsum"]:
+                    tot += np.frombuffer(payload, dtype=np.int64)
+                out.append({"cluster": int(c), "n": int(g["n"].sum()),
+                            "qsum": tot.tobytes()})
+            return pd.DataFrame(out)
+
+        stats = partition_reduce(
+            ds.map_batches(make_assign(cent_ref), batch_format="pandas"),
+            ["cluster"], merge, num_partitions=num_partitions,
+        ).to_pandas()
+        new_c = centroids.copy()
+        for _, r in stats.iterrows():
+            tot = np.frombuffer(r["qsum"], dtype=np.int64).astype(np.float64)
+            new_c[int(r["cluster"])] = tot / r["n"] / _KMEANS_SCALE
+        centroids = new_c
+
+    final_ref = ray.put(centroids)
+
+    def assign_fn(data):
+        def label(df: pd.DataFrame) -> pd.DataFrame:
+            cent = ray.get(final_ref)
+            x = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
+            scores = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+            return pd.DataFrame({
+                id_col: df[id_col],
+                "cluster": np.argmax(scores, axis=1).astype("int64"),
+            })
+
+        return data.map_batches(label, batch_format="pandas")
+
+    return centroids, assign_fn
+
+
+def kmeans_cluster_sizes(ds, id_col: str, vec_col: str, dim: int, k: int, *,
+                         iters: int = 10, seed: int = 42, round_to: int = 6):
+    """k-means driver query shape: (cluster, size, centroid_norm) — small,
+    deterministic, golden-freezable."""
+    import pandas as pd
+
+    from ..state.groupby import partition_reduce
+
+    centroids, assign_fn = kmeans(ds, id_col, vec_col, dim, k,
+                                  iters=iters, seed=seed)
+    labeled = assign_fn(ds)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cluster", as_index=False).agg(n=(id_col, "size"))
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("cluster", as_index=False).agg(n=("n", "sum"))
+
+    sizes = partition_reduce(
+        labeled.map_batches(partial, batch_format="pandas"),
+        ["cluster"], final, num_partitions=4,
+    ).to_pandas()
+    norms = np.sqrt((centroids * centroids).sum(axis=1)).round(round_to)
+    sizes["size"] = sizes["n"].astype("int64")
+    sizes["centroid_norm"] = sizes["cluster"].map(
+        lambda c: float(norms[int(c)]))
+    return sizes[["cluster", "size", "centroid_norm"]].sort_values(
+        "cluster").reset_index(drop=True)

@@ -253,3 +253,48 @@ def boilerplate_sql(table: str, id_col: str, text_col: str, group_col: str,
                ROUND(AVG(CAST(n_dup AS DOUBLE) / n_sents), 4) AS avg_dup_ratio
         FROM per_doc GROUP BY 1
     """
+
+
+def grouped_corr(ds, by: str, x_col: str, y_col: str, *,
+                 num_partitions: int = 8, round_to: int = 6):
+    """Per-group Pearson correlation + OLS slope from SUFFICIENT
+    STATISTICS: each batch contributes (n, Σx, Σy, Σx², Σy², Σxy) — six
+    numbers per (group, batch) cross the exchange, never rows. The
+    textbook mergeable-aggregate shape for per-stratum feature/label
+    diagnostics over a corpus."""
+    from ..state.groupby import partition_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = df[x_col].astype("float64"), df[y_col].astype("float64")
+        return pd.DataFrame({
+            by: df[by], "n": 1.0, "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        }).groupby(by, as_index=False).sum()
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(by, as_index=False).sum()
+        n = g["n"]
+        cov = g["sxy"] - g["sx"] * g["sy"] / n
+        vx = g["sxx"] - g["sx"] ** 2 / n
+        vy = g["syy"] - g["sy"] ** 2 / n
+        return pd.DataFrame({
+            by: g[by],
+            "n": n.astype("int64"),
+            "corr": (cov / np.sqrt(vx * vy)).round(round_to),
+            "slope": (cov / vx).round(round_to),
+        })
+
+    return partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"), [by], final,
+        num_partitions=num_partitions,
+    )
+
+
+def corr_sql(table: str, by: str, x_col: str, y_col: str,
+             round_to: int = 6) -> str:
+    return f"""
+        SELECT {by}, COUNT(*) AS n,
+               ROUND(CORR({x_col}, {y_col}), {round_to}) AS corr,
+               ROUND(REGR_SLOPE({y_col}, {x_col}), {round_to}) AS slope
+        FROM {table} GROUP BY {by}
+    """
