@@ -637,6 +637,34 @@ def value_quantiles_disc(sf_dir: str):
     return grouped_quantiles_disc(ds, "event_type", "value", [0.25, 0.5, 0.9])
 
 
+def event_customer_coverage(sf_dir: str):
+    """FULL OUTER hash join (shuffle tier — a map-side full outer would
+    re-emit unmatched right rows per batch): which event users have a
+    customer record and which customers never produced an event."""
+    events = _pq(sf_dir, "events", ["event_id", "user_id"])
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda df: df.rename(columns={"c_custkey": "user_id"}),
+        batch_format="pandas",
+    )
+    j = hash_join(events, cust, on="user_id", how="outer")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        side = np.where(
+            df["event_id"].notna() & df["c_mktsegment"].notna(), "both",
+            np.where(df["event_id"].notna(), "event_only", "customer_only"),
+        )
+        return pd.DataFrame({"side": side}).groupby("side", as_index=False).agg(
+            n=("side", "size")
+        )
+
+    return _grouped_final(
+        j.map_batches(classify, batch_format="pandas"),
+        ["side"], {"n": ("n", "sum")},
+        post=lambda df: df.assign(n=df["n"].astype("int64")),
+        num_partitions=2,
+    )
+
+
 def lineitem_price_corr(sf_dir: str):
     """Per-returnflag Pearson corr + OLS slope of quantity vs extended
     price, from six sufficient statistics per (group, batch)
@@ -1036,6 +1064,15 @@ SQL: dict[str, str] = {
          AND p.o_orderkey <> w.o_orderkey
         GROUP BY 1
     """,
+    "event_customer_coverage": """
+        SELECT CASE WHEN e.event_id IS NOT NULL AND c.c_mktsegment IS NOT NULL
+                    THEN 'both'
+                    WHEN e.event_id IS NOT NULL THEN 'event_only'
+                    ELSE 'customer_only' END AS side,
+               COUNT(*) AS n
+        FROM events e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+    """,
     "revenue_cube": """
         SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
@@ -1176,6 +1213,7 @@ QUERIES = {
     "revenue_cube": revenue_cube,
     "order_price_quartiles": order_price_quartiles,
     "lineitem_price_corr": lineitem_price_corr,
+    "event_customer_coverage": event_customer_coverage,
     "region_customer_rollup": region_customer_rollup,
     "supplier_nation_stats": supplier_nation_stats,
     "exact_dedup_docs": exact_dedup_docs,

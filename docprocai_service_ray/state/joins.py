@@ -290,6 +290,13 @@ def hash_join(
     it when the left side dominates the exchange and the join is selective.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if how == "outer":
+        # full outer CANNOT broadcast (a map-side join would re-emit each
+        # unmatched right row once per left batch) and CANNOT salt (right
+        # replication would duplicate unmatched right rows salt times)
+        if strategy == "broadcast" or salt > 1:
+            raise ValueError("how='outer' requires the shuffle tier with salt=1")
+        strategy = "shuffle"
     if strategy == "auto" and salt == 1 and how in ("inner", "left"):
         rb = _meta_size_bytes(right)
         if rb is not None and rb <= broadcast_max_bytes:

@@ -189,3 +189,38 @@ class TestAsofPartitionContract:
             strategy="shuffle", num_partitions=4, max_partition_rows=100_000,
         )
         assert out.count() == 200
+
+
+class TestFullOuterJoin:
+    def test_outer_matches_pandas(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from docprocai_service_ray.state.joins import hash_join
+
+        l = pd.DataFrame({"k": [1, 2, 3, 3], "a": ["w", "x", "y", "z"]})
+        r = pd.DataFrame({"k": [2, 3, 4], "b": ["p", "q", "r"]})
+        got = hash_join(
+            rd.from_pandas(l).repartition(3), rd.from_pandas(r).repartition(2),
+            on="k", how="outer",
+        ).to_pandas()
+        want = l.merge(r, on="k", how="outer")
+        key = ["k", "a", "b"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key, na_position="last").reset_index(drop=True)[key],
+            want.sort_values(key, na_position="last").reset_index(drop=True)[key],
+        )
+
+    def test_outer_rejects_broadcast_and_salt(self):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from docprocai_service_ray.state.joins import hash_join
+
+        l = rd.from_pandas(pd.DataFrame({"k": [1]}))
+        r = rd.from_pandas(pd.DataFrame({"k": [2]}))
+        with pytest.raises(ValueError):
+            hash_join(l, r, on="k", how="outer", strategy="broadcast")
+        with pytest.raises(ValueError):
+            hash_join(l, r, on="k", how="outer", salt=4)
