@@ -208,6 +208,7 @@ def run_kg(
     with_mentions: bool = False,
     with_sentence_embeddings: bool = False,
     with_doc_summaries: bool = False,
+    with_link_graph: bool = False,
 ) -> dict:
     """Run the full pipeline; returns dict of stage Datasets.
 
@@ -240,6 +241,18 @@ def run_kg(
             from ..stages.summarize import build_doc_summaries
 
             out["doc_summaries"] = build_doc_summaries(sentences, triples_raw, cfg)
+        if with_link_graph:
+            # host-level hyperlink structure of the SAME corpus (one extra
+            # pruned raw-html pass); the edge table is vocab-sized, so
+            # materializing it once feeds PageRank without re-extraction
+            import ray.data as _rd
+
+            from ..stages.linkgraph import host_link_edges, host_pagerank
+
+            pages_lg = _rd.read_parquet(pages_path, columns=["url", "html"])
+            edges = host_link_edges(pages_lg).materialize()
+            out["host_edges"] = edges
+            out["host_ranks"] = host_pagerank(edges=edges, cfg=cfg)
         entity_map = build_entity_map(triples_raw, alias_ref, cfg)
         out["entity_map"] = entity_map
         # auto-tiered: broadcast dict under cfg.emap_broadcast_max_bytes,
@@ -329,6 +342,26 @@ def run_kg(
             lambda: build_doc_summaries(sentences, triples_raw, cfg),
             out_dir,
             "doc_summaries",
+            resume,
+        )
+
+    if with_link_graph:
+        import ray.data as _rd
+
+        from ..stages.linkgraph import host_link_edges, host_pagerank
+
+        host_edges = checkpointed(
+            lambda: host_link_edges(
+                _rd.read_parquet(pages_path, columns=["url", "html"])),
+            out_dir,
+            "host_edges",
+            resume,
+        )
+        out["host_edges"] = host_edges
+        out["host_ranks"] = checkpointed(
+            lambda: host_pagerank(edges=host_edges, cfg=cfg),
+            out_dir,
+            "host_ranks",
             resume,
         )
 

@@ -159,14 +159,18 @@ def top_linked_hosts(pages, k: int = 10, **kwargs):
     )
 
 
-def host_pagerank(pages, *, iters: int = 20, cfg=None, **kwargs):
+def host_pagerank(pages=None, *, edges=None, iters: int = 20, cfg=None,
+                  **kwargs):
     """PageRank over the host link graph (reuses stages/graph.pagerank:
-    same size-gated tiers, same dense-numpy-verified kernel)."""
+    same size-gated tiers, same dense-numpy-verified kernel). Pass
+    ``edges`` (a host_link_edges output, e.g. the checkpointed stage) to
+    skip re-extracting links from raw html."""
     import pyarrow as pa
 
     from .graph import pagerank
 
-    edges = host_link_edges(pages, **kwargs)
+    if edges is None:
+        edges = host_link_edges(pages, **kwargs)
     as_triples = edges.map_batches(
         lambda t: t.select(["src_host", "dst_host"]).rename_columns(
             ["subject_id", "object_id"]

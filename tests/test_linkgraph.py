@@ -162,3 +162,50 @@ class TestAnchorTerms:
         # generator anchors read "site N" — the term 'site' must dominate
         by_term = got.groupby("term")["n"].sum()
         assert by_term.idxmax() == "site"
+
+
+class TestLinkGraphStage:
+    def test_checkpointed_stage_matches_direct(self, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from docprocai_service_ray.config import KGConfig
+        from docprocai_service_ray.pipelines.kg import run_kg
+        from docprocai_service_ray.sources.webgen import alias_dict_table, pages_table
+        from docprocai_service_ray.state.manifest import is_stage_done
+
+        cfg = KGConfig()
+        pages_dir = str(tmp_path / "pages")
+        os.makedirs(pages_dir)
+        pq.write_table(pages_table(42, list(range(300))),
+                       os.path.join(pages_dir, "p.parquet"))
+        out = str(tmp_path / "kg")
+        res = run_kg(pages_dir, alias_dict_table(42, 64), cfg, out_dir=out,
+                     with_link_graph=True)
+        assert is_stage_done(out, "host_edges")
+        assert is_stage_done(out, "host_ranks")
+
+        direct = host_link_edges(
+            rd.read_parquet(pages_dir, columns=["url", "html"])).to_pandas()
+        got = res["host_edges"].to_pandas()
+        key = ["src_host", "dst_host"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True)[key + ["n_links"]],
+            direct.sort_values(key).reset_index(drop=True)[key + ["n_links"]],
+        )
+        ranks = res["host_ranks"].to_pandas()
+        direct_pr = host_pagerank(
+            rd.read_parquet(pages_dir, columns=["url", "html"])).to_pandas()
+        pd.testing.assert_frame_equal(
+            ranks.sort_values("host").reset_index(drop=True),
+            direct_pr.sort_values("host").reset_index(drop=True),
+        )
+
+        # resume: a second run must reuse both stages (and stay equal)
+        res2 = run_kg(pages_dir, alias_dict_table(42, 64), cfg, out_dir=out,
+                      with_link_graph=True)
+        pd.testing.assert_frame_equal(
+            res2["host_ranks"].to_pandas().sort_values("host").reset_index(drop=True),
+            ranks.sort_values("host").reset_index(drop=True),
+        )
