@@ -56,6 +56,11 @@ QUERY_NAMES = [
     "revenue_rollup",
     # point-in-interval join (time-bucket replication)
     "followup_orders",
+    # late-r3 additions: one per new family
+    "revenue_cube",
+    "lineitem_price_corr",
+    "event_sessions",
+    "boilerplate_by_source",
 ]
 
 
