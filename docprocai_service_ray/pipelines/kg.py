@@ -154,6 +154,24 @@ def reprocess_urls(
     alias_ref = ray.put(alias_table)
     if is_stage_done(out_dir, "mentions"):
         out["mentions"] = _patch("mentions", build_mentions(triples_raw_new, alias_ref, cfg))
+    if is_stage_done(out_dir, "url_links"):
+        # per-record link partials patch like docs; the host-level stages
+        # re-derive by aggregation below (same cascade shape as entity_map)
+        from ..stages.linkgraph import (
+            host_edges_from_url_links,
+            host_pagerank,
+            url_host_links,
+        )
+
+        out["url_links"] = _patch("url_links", url_host_links(pages))
+        host_edges = host_edges_from_url_links(out["url_links"])
+        write_stage(host_edges, out_dir, "host_edges",
+                    extra={"reprocessed_urls": len(urls)})
+        out["host_edges"] = rd.read_parquet(stage_output_dir(out_dir, "host_edges"))
+        host_ranks = host_pagerank(edges=out["host_edges"], cfg=cfg)
+        write_stage(host_ranks, out_dir, "host_ranks",
+                    extra={"reprocessed_urls": len(urls)})
+        out["host_ranks"] = rd.read_parquet(stage_output_dir(out_dir, "host_ranks"))
 
     # corpus-level cascade: canonical ids + aggregates from patched raw
     entity_map = build_entity_map(out["triples_raw"], alias_ref, cfg)
@@ -348,11 +366,25 @@ def run_kg(
     if with_link_graph:
         import ray.data as _rd
 
-        from ..stages.linkgraph import host_link_edges, host_pagerank
+        from ..stages.linkgraph import (
+            host_edges_from_url_links,
+            host_pagerank,
+            url_host_links,
+        )
 
-        host_edges = checkpointed(
-            lambda: host_link_edges(
+        # per-url partials are the PATCHABLE checkpoint (reprocess/ingest
+        # delete a url's rows and re-derive them like docs/sentences); the
+        # host-level stages re-derive by aggregation (corpus-level cascade)
+        url_links = checkpointed(
+            lambda: url_host_links(
                 _rd.read_parquet(pages_path, columns=["url", "html"])),
+            out_dir,
+            "url_links",
+            resume,
+        )
+        out["url_links"] = url_links
+        host_edges = checkpointed(
+            lambda: host_edges_from_url_links(url_links),
             out_dir,
             "host_edges",
             resume,

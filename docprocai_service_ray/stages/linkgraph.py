@@ -57,13 +57,17 @@ def _decode_html(col) -> list[str]:
 
 
 def extract_links(pages, *, url_col: str = "url", html_col: str = "html"):
-    """(src_host, dst_host, href) rows, one per anchor on every page.
+    """(url, src_host, dst_host, href) rows, one per anchor on every page.
 
     Relative hrefs (``/about``) resolve to the page's own host; absolute
     ``http(s)://`` hrefs contribute their own host; other schemes
     (mailto:, javascript:) are dropped.
     """
+    per_batch = _links_frame_fn(url_col, html_col)
+    return pages.map_batches(per_batch, batch_format="pandas")
 
+
+def _links_frame_fn(url_col: str, html_col: str):
     def per_batch(df: pd.DataFrame) -> pd.DataFrame:
         decoded = _decode_html(df[html_col])
         src_host = df[url_col].str.extract(_HOST_RE, expand=False).to_numpy()
@@ -76,6 +80,7 @@ def extract_links(pages, *, url_col: str = "url", html_col: str = "html"):
         total = int(counts.sum())
         if total == 0:
             return pd.DataFrame({
+                "url": pd.Series([], dtype="object"),
                 "src_host": pd.Series([], dtype="object"),
                 "dst_host": pd.Series([], dtype="object"),
                 "href": pd.Series([], dtype="object"),
@@ -91,24 +96,46 @@ def extract_links(pages, *, url_col: str = "url", html_col: str = "html"):
         dst = np.where(is_abs, abs_host, np.where(is_rel, src, None))
         keep = pd.notna(dst)
         return pd.DataFrame({
+            "url": np.repeat(df[url_col].to_numpy(), counts)[keep],
             "src_host": src[keep],
             "dst_host": dst[keep],
             "href": hrefs.to_numpy()[keep],
         })
 
+    return per_batch
+
+
+def url_host_links(pages, *, url_col: str = "url", html_col: str = "html"):
+    """Per-URL cross-host link partials: (url, src_host, dst_host, n) —
+    the PATCHABLE intermediate of the link graph. Because a url's rows
+    depend only on its own html, this table supports the per-record
+    delete→re-derive cascade (reprocess_urls / ingest_shard) exactly like
+    docs/sentences; the host-level edge table is then a pure aggregation
+    of it (corpus-level cascade, same shape as entity_map). Extraction and
+    the per-url groupby are FUSED in one batch fn so a url's anchor rows
+    can never split across batch boundaries — the table's rows are
+    deterministic at any parallelism."""
+    links_fn = _links_frame_fn(url_col, html_col)
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        links = links_fn(df)
+        links = links[links["src_host"] != links["dst_host"]]
+        out = links.groupby(["url", "src_host", "dst_host"], as_index=False).agg(
+            n=("href", "size")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
     return pages.map_batches(per_batch, batch_format="pandas")
 
 
-def host_link_edges(pages, *, url_col: str = "url", html_col: str = "html",
-                    num_partitions: int = 32):
-    """Cross-host (src_host, dst_host, n_links) edge table — the host-level
-    web graph. Same-host links (nav/self) are dropped; counts are exact."""
-    links = extract_links(pages, url_col=url_col, html_col=html_col)
+def host_edges_from_url_links(url_links, *, num_partitions: int = 32):
+    """(src_host, dst_host, n_links) from the per-url partials — one
+    grouped sum (hub hosts concentrate counts, never rows)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["src_host"] != df["dst_host"]]
         return df.groupby(["src_host", "dst_host"], as_index=False).agg(
-            n=("href", "size")
+            n=("n", "sum")
         )
 
     def final(part: pd.DataFrame) -> pd.DataFrame:
@@ -119,9 +146,19 @@ def host_link_edges(pages, *, url_col: str = "url", html_col: str = "html",
         return out
 
     return partition_reduce(
-        links.map_batches(partial, batch_format="pandas"),
+        url_links.map_batches(partial, batch_format="pandas"),
         ["src_host", "dst_host"],
         final,
+        num_partitions=num_partitions,
+    )
+
+
+def host_link_edges(pages, *, url_col: str = "url", html_col: str = "html",
+                    num_partitions: int = 32):
+    """Cross-host (src_host, dst_host, n_links) edge table — the host-level
+    web graph. Same-host links (nav/self) are dropped; counts are exact."""
+    return host_edges_from_url_links(
+        url_host_links(pages, url_col=url_col, html_col=html_col),
         num_partitions=num_partitions,
     )
 

@@ -209,3 +209,40 @@ class TestLinkGraphStage:
             res2["host_ranks"].to_pandas().sort_values("host").reset_index(drop=True),
             ranks.sort_values("host").reset_index(drop=True),
         )
+
+    def test_ingest_shard_keeps_link_graph_consistent(self, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from docprocai_service_ray.config import KGConfig
+        from docprocai_service_ray.pipelines.kg import ingest_shard, run_kg
+        from docprocai_service_ray.sources.webgen import alias_dict_table, pages_table
+
+        cfg = KGConfig()
+        old_dir = str(tmp_path / "old"); os.makedirs(old_dir)
+        shard_dir = str(tmp_path / "shard"); os.makedirs(shard_dir)
+        full_dir = str(tmp_path / "full"); os.makedirs(full_dir)
+        pq.write_table(pages_table(42, list(range(200))),
+                       os.path.join(old_dir, "p.parquet"))
+        pq.write_table(pages_table(42, list(range(200, 300))),
+                       os.path.join(shard_dir, "p.parquet"))
+        pq.write_table(pages_table(42, list(range(300))),
+                       os.path.join(full_dir, "p.parquet"))
+        alias = alias_dict_table(42, 64)
+
+        out = str(tmp_path / "kg_inc")
+        run_kg(old_dir, alias, cfg, out_dir=out, with_link_graph=True)
+        inc = ingest_shard(shard_dir, alias, cfg, out_dir=out)
+        clean = run_kg(full_dir, alias, cfg, out_dir=str(tmp_path / "kg_clean"),
+                       with_link_graph=True)
+
+        key = ["src_host", "dst_host"]
+        pd.testing.assert_frame_equal(
+            inc["host_edges"].to_pandas().sort_values(key).reset_index(drop=True),
+            clean["host_edges"].to_pandas().sort_values(key).reset_index(drop=True),
+        )
+        pd.testing.assert_frame_equal(
+            inc["host_ranks"].to_pandas().sort_values("host").reset_index(drop=True),
+            clean["host_ranks"].to_pandas().sort_values("host").reset_index(drop=True),
+        )
