@@ -99,6 +99,16 @@ def _top_linked_hosts(sf_dir: str):
     return top_linked_hosts(_corpus_pages(sf_dir, ["url", "html"]), 10)
 
 
+def _host_pagerank_weighted(sf_dir: str):
+    """Multiplicity-aware host PageRank: rank splits over out-links
+    proportional to LINK COUNTS (graph.pagerank weight_col tier — both
+    tiers dense-verified at 1e-9 in tests/test_graph.py)."""
+    from docprocai_service_ray.stages.linkgraph import host_pagerank
+
+    return host_pagerank(_corpus_pages(sf_dir, ["url", "html"]),
+                         iters=20, cfg=_CFG, weighted=True)
+
+
 def _anchor_terms(sf_dir: str):
     """Anchor-text index (stages/linkgraph.anchor_text_terms): per-host
     term counts from cross-host anchor text — the external-description
@@ -869,6 +879,7 @@ _GOLDEN_QUERIES = [
     # iterative float fixpoint over the host link graph (see
     # pagerank_entities note above); edges themselves are REAL-SQL-oracled
     "host_pagerank",
+    "host_pagerank_weighted",
     # iterative clustering; bit-deterministic via fixed-point updates
     # (parallelism invariance + reference mirror in tests/test_kmeans.py)
     "kmeans_embeddings",
@@ -924,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "host_link_edges": _host_link_edges,
             "top_linked_hosts": _top_linked_hosts,
             "host_pagerank": _host_pagerank,
+            "host_pagerank_weighted": _host_pagerank_weighted,
             "anchor_terms": _anchor_terms,
             "stratified_docs_sample": _stratified_docs_sample,
             "similar_surfaces": _similar_surfaces,

@@ -105,21 +105,24 @@ def _pagerank_driver(edges_df: pd.DataFrame, damping: float, iters: int,
     regardless of block arrival order. Takes a pandas (src, dst) frame:
     driver collection goes through ``to_pandas()`` (Arrow block concat),
     never ``take_all()`` (per-row dict conversion, ~3 orders slower)."""
-    pairs = sorted(zip(edges_df["src"].tolist(), edges_df["dst"].tolist()))
-    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    ws = (edges_df["w"].astype(float).tolist() if "w" in edges_df.columns
+          else [1.0] * len(edges_df))
+    pairs = sorted(zip(edges_df["src"].tolist(), edges_df["dst"].tolist(), ws))
+    nodes = sorted({s for s, _, _ in pairs} | {d for _, d, _ in pairs})
     idx = {e: i for i, e in enumerate(nodes)}
     n = len(nodes)
     if n == 0:
         return ray.data.from_arrow(
             pa.table({"entity": pa.array([], pa.string()),
                       "rank": pa.array([], pa.float64())}))
-    src = np.fromiter((idx[s] for s, _ in pairs), dtype=np.int64)
-    dst = np.fromiter((idx[d] for _, d in pairs), dtype=np.int64)
-    out = np.bincount(src, minlength=n).astype(np.float64)
+    src = np.fromiter((idx[s] for s, _, _ in pairs), dtype=np.int64)
+    dst = np.fromiter((idx[d] for _, d, _ in pairs), dtype=np.int64)
+    w = np.fromiter((x for _, _, x in pairs), dtype=np.float64)
+    out = np.bincount(src, weights=w, minlength=n).astype(np.float64)
     r = np.full(n, 1.0 / n)
     for _ in range(iters):
         contrib = np.zeros(n)
-        np.add.at(contrib, dst, r[src] / out[src])
+        np.add.at(contrib, dst, r[src] * w / out[src])
         dangling = r[out == 0].sum()
         r = (1.0 - damping) / n + damping * (contrib + dangling / n)
     if round_to is not None:
@@ -168,7 +171,8 @@ def _copart_contribs(ranks, tag, bucket_dir: str):
         e = pd.concat([pq.read_table(f).to_pandas() for f in files],
                       ignore_index=True)
         m = e.merge(rg[["entity", "rank"]], on="entity")
-        out = pd.DataFrame({"entity": m["dst"], "s": m["rank"] / m["out_deg"]})
+        mw = m["w"] if "w" in m.columns else 1.0
+        out = pd.DataFrame({"entity": m["dst"], "s": m["rank"] * mw / m["out_deg"]})
         return out.groupby("entity", as_index=False)["s"].sum()
 
     return ranks.map_batches(tag, batch_format="pandas").groupby(
@@ -178,7 +182,8 @@ def _copart_contribs(ranks, tag, bucket_dir: str):
 
 def pagerank(triples, *, damping: float = 0.85, iters: int = 20,
              num_partitions: int = 32, round_to: int | None = 8, cfg=None,
-             copartition: bool | None = None, bucket_dir: str | None = None):
+             copartition: bool | None = None, bucket_dir: str | None = None,
+             weight_col: str | None = None):
     """Damped PageRank over the distinct-edge view of a triple Dataset.
 
     Returns a Dataset of (entity, rank) with ranks summing to 1. Dangling
@@ -204,25 +209,41 @@ def pagerank(triples, *, damping: float = 0.85, iters: int = 20,
     from ..config import KGConfig
 
     cfg = cfg or KGConfig()
-    edges = triple_edges(triples, num_partitions=num_partitions).materialize()
+    if weight_col is None:
+        edges = triple_edges(triples, num_partitions=num_partitions).materialize()
+    else:
+        # weighted view: multiplicity matters, so no distinct pass; the
+        # weight rides every tier as column ``w`` and out-degree becomes
+        # the per-source WEIGHT SUM (w=1 reduces to the unweighted math)
+        edges = triples.map_batches(
+            lambda t: t.select(["subject_id", "object_id", weight_col])
+            .rename_columns(["src", "dst", "w"]),
+            batch_format="pyarrow",
+        ).materialize()
     if edges.count() <= cfg.driver_unionfind_max:
-        return _pagerank_driver(collect_pandas(edges, ["src", "dst"]),
+        cols = ["src", "dst"] + (["w"] if weight_col is not None else [])
+        return _pagerank_driver(collect_pandas(edges, cols),
                                 damping, iters, round_to)
 
+    def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"] if "w" in df.columns else 1.0
+        return pd.DataFrame({"entity": df["src"], "out_deg": w}).groupby(
+            "entity", as_index=False).sum()
+
     out_deg = partition_reduce(
-        edges.map_batches(
-            lambda df: df["src"].value_counts().rename_axis("entity")
-            .reset_index(name="out_deg"),
-            batch_format="pandas",
-        ),
+        edges.map_batches(_deg_partial, batch_format="pandas"),
         ["entity"],
         lambda p: p.groupby("entity", as_index=False)["out_deg"].sum(),
         num_partitions=num_partitions,
     )
-    # (src→entity, dst, out_deg): the static per-iteration join input.
+
+    def _rename(t: pa.Table) -> pa.Table:
+        names = ["entity", "dst"] + (["w"] if weight_col is not None else [])
+        return t.rename_columns(names)
+
+    # (src→entity, dst[, w], out_deg): the static per-iteration join input.
     edges_deg = hash_join(
-        edges.map_batches(lambda t: t.rename_columns(["entity", "dst"]),
-                          batch_format="pyarrow"),
+        edges.map_batches(_rename, batch_format="pyarrow"),
         out_deg, on="entity",
     ).materialize()
 
@@ -261,11 +282,14 @@ def pagerank(triples, *, damping: float = 0.85, iters: int = 20,
         if copartition:
             joined = _copart_contribs(ranks, tag, bucket_dir)
         else:
+            def _contrib(df: pd.DataFrame) -> pd.DataFrame:
+                w = df["w"] if "w" in df.columns else 1.0
+                return pd.DataFrame(
+                    {"entity": df["dst"], "s": df["rank"] * w / df["out_deg"]}
+                ).groupby("entity", as_index=False)["s"].sum()
+
             joined = hash_join(edges_deg, ranks, on="entity").map_batches(
-                lambda df: pd.DataFrame(
-                    {"entity": df["dst"], "s": df["rank"] / df["out_deg"]}
-                ).groupby("entity", as_index=False)["s"].sum(),
-                batch_format="pandas",
+                _contrib, batch_format="pandas",
             )
         contribs = partition_reduce(
             joined,

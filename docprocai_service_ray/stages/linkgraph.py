@@ -197,24 +197,35 @@ def top_linked_hosts(pages, k: int = 10, **kwargs):
 
 
 def host_pagerank(pages=None, *, edges=None, iters: int = 20, cfg=None,
-                  **kwargs):
+                  weighted: bool = False, **kwargs):
     """PageRank over the host link graph (reuses stages/graph.pagerank:
     same size-gated tiers, same dense-numpy-verified kernel). Pass
     ``edges`` (a host_link_edges output, e.g. the checkpointed stage) to
-    skip re-extracting links from raw html."""
+    skip re-extracting links from raw html. ``weighted=True`` splits each
+    host's rank over its out-links proportional to LINK COUNTS (n_links)
+    instead of uniformly over distinct target hosts — the classic
+    multiplicity-aware web PageRank."""
     import pyarrow as pa
 
     from .graph import pagerank
 
     if edges is None:
         edges = host_link_edges(pages, **kwargs)
-    as_triples = edges.map_batches(
-        lambda t: t.select(["src_host", "dst_host"]).rename_columns(
-            ["subject_id", "object_id"]
-        ),
-        batch_format="pyarrow",
-    )
-    ranked = pagerank(as_triples, iters=iters, cfg=cfg)
+    if weighted:
+        as_triples = edges.map_batches(
+            lambda t: t.select(["src_host", "dst_host", "n_links"])
+            .rename_columns(["subject_id", "object_id", "n_links"]),
+            batch_format="pyarrow",
+        )
+        ranked = pagerank(as_triples, iters=iters, cfg=cfg, weight_col="n_links")
+    else:
+        as_triples = edges.map_batches(
+            lambda t: t.select(["src_host", "dst_host"]).rename_columns(
+                ["subject_id", "object_id"]
+            ),
+            batch_format="pyarrow",
+        )
+        ranked = pagerank(as_triples, iters=iters, cfg=cfg)
     return ranked.map_batches(
         lambda t: t.rename_columns(["host", "rank"]), batch_format="pyarrow"
     )

@@ -180,3 +180,74 @@ class TestKhop:
     def test_seed_only_when_no_edges(self, triples):
         got = khop_neighborhood(triples, "zz_not_an_entity", k=2)
         assert got.to_pylist() == [{"entity": "zz_not_an_entity", "hop": 0}]
+
+
+class TestWeightedPagerank:
+    """pagerank(weight_col=...): both tiers vs a dense weighted reference."""
+
+    def _dense_ref(self, edges, n_nodes_map, damping=0.85, iters=20):
+        import numpy as np
+
+        nodes = sorted(n_nodes_map)
+        idx = {e: i for i, e in enumerate(nodes)}
+        n = len(nodes)
+        W = np.zeros((n, n))
+        for s, d, w in edges:
+            W[idx[s], idx[d]] += w
+        out = W.sum(axis=1)
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            contrib = np.zeros(n)
+            for i in range(n):
+                if out[i] > 0:
+                    contrib += damping * r[i] * W[i] / out[i]
+            dangling = r[out == 0].sum()
+            r = (1 - damping) / n + contrib + damping * dangling / n
+        return {e: r[idx[e]] for e in nodes}
+
+    @pytest.fixture(scope="class")
+    def weighted_edges(self):
+        import random
+
+        rng = random.Random(17)
+        nodes = [f"h{i}" for i in range(25)]
+        edges = []
+        for _ in range(120):
+            s, d = rng.sample(nodes, 2)
+            edges.append((s, d, rng.randint(1, 9)))
+        return edges, nodes
+
+    def _triples_ds(self, edges):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "subject_id": [s for s, _, _ in edges],
+            "object_id": [d for _, d, _ in edges],
+            "w": pa.array([w for _, _, w in edges], pa.int64()),
+        })).repartition(4)
+
+    def test_both_tiers_match_dense(self, weighted_edges):
+        import dataclasses
+
+        from docprocai_service_ray.config import KGConfig
+        from docprocai_service_ray.stages.graph import pagerank
+
+        edges, nodes = weighted_edges
+        want = self._dense_ref(edges, {n: 1 for n in nodes})
+        for cfg in (KGConfig(),
+                    dataclasses.replace(KGConfig(), driver_unionfind_max=0)):
+            got = pagerank(self._triples_ds(edges), iters=20, cfg=cfg,
+                           weight_col="w", round_to=None).to_pandas()
+            for e, r in zip(got["entity"], got["rank"]):
+                assert abs(r - want[e]) < 1e-9, (e, r, want[e])
+
+    def test_weights_change_the_ranking(self, weighted_edges):
+        from docprocai_service_ray.stages.graph import pagerank
+
+        edges, _ = weighted_edges
+        ds = self._triples_ds(edges)
+        w = pagerank(ds, iters=10, weight_col="w").to_pandas()
+        u = pagerank(ds, iters=10).to_pandas()
+        merged = w.merge(u, on="entity", suffixes=("_w", "_u"))
+        assert (merged["rank_w"] != merged["rank_u"]).any()
