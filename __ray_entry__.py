@@ -986,6 +986,10 @@ def oracle_sql() -> dict[str, str]:
     sql["lineitem_price_corr"] = corr_sql(
         "lineitem", "l_returnflag", "l_quantity", "l_extendedprice",
     )
+    from docprocai_service_ray.pipelines.benchqueries import _PROFILE_COLS
+    from docprocai_service_ray.stages.textstats import profile_sql
+
+    sql["orders_profile"] = profile_sql("orders", _PROFILE_COLS)
 
     sql["boilerplate_by_source"] = boilerplate_sql(
         "documents", "doc_id", "text", "source",

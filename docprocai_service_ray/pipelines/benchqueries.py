@@ -637,6 +637,18 @@ def value_quantiles_disc(sf_dir: str):
     return grouped_quantiles_disc(ds, "event_type", "value", [0.25, 0.5, 0.9])
 
 
+_PROFILE_COLS = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def orders_profile(sf_dir: str):
+    """Ingest-time data-quality profile (stages/textstats.profile_table):
+    per-column rows / nulls / distincts / min / max in one pass."""
+    from ..stages.textstats import profile_table
+
+    ds = _pq(sf_dir, "orders", _PROFILE_COLS)
+    return profile_table(ds, _PROFILE_COLS)
+
+
 def event_customer_coverage(sf_dir: str):
     """FULL OUTER hash join (shuffle tier — a map-side full outer would
     re-emit unmatched right rows per batch): which event users have a
@@ -1214,6 +1226,7 @@ QUERIES = {
     "order_price_quartiles": order_price_quartiles,
     "lineitem_price_corr": lineitem_price_corr,
     "event_customer_coverage": event_customer_coverage,
+    "orders_profile": orders_profile,
     "region_customer_rollup": region_customer_rollup,
     "supplier_nation_stats": supplier_nation_stats,
     "exact_dedup_docs": exact_dedup_docs,

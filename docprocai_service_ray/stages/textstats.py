@@ -298,3 +298,71 @@ def corr_sql(table: str, by: str, x_col: str, y_col: str,
                ROUND(REGR_SLOPE({y_col}, {x_col}), {round_to}) AS slope
         FROM {table} GROUP BY {by}
     """
+
+
+def profile_table(ds, columns: list[str], *, num_partitions: int = 8):
+    """Data-quality profile: one row per column with (n_rows, n_nulls,
+    n_distinct, min_v, max_v) — the ingest-time sanity scan a pipeline
+    runs before training on a new table. Values are compared as strings
+    (one schema for mixed column types; min/max over the VARCHAR cast,
+    matching the SQL twin). Per-batch partials carry per-column local
+    dedup sets as rows, so the exchange is bounded by local distincts —
+    for high-cardinality columns compose with grouped_distinct_sketch's
+    HLL instead."""
+    from ..state.groupby import partition_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in columns:
+            s = df[c]
+            nn = s.dropna()
+            if np.issubdtype(s.dtype, np.datetime64):
+                # pandas astype(str) drops a midnight time part; DuckDB's
+                # VARCHAR cast keeps it — format explicitly to match
+                vals = nn.dt.strftime("%Y-%m-%d %H:%M:%S")
+            else:
+                vals = nn.astype(str)
+            uniq = vals.drop_duplicates()
+            frames.append(pd.DataFrame({
+                "column": c,
+                "v": uniq,
+                "n_rows": 0,
+                "n_nulls": 0,
+            }))
+            frames.append(pd.DataFrame({
+                "column": [c], "v": [None],
+                "n_rows": [len(s)], "n_nulls": [int(s.isna().sum())],
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c, g in part.groupby("column", sort=False):
+            vals = g["v"].dropna().drop_duplicates()
+            rows.append({
+                "column": c,
+                "n_rows": int(g["n_rows"].sum()),
+                "n_nulls": int(g["n_nulls"].sum()),
+                "n_distinct": int(len(vals)),
+                "min_v": vals.min() if len(vals) else None,
+                "max_v": vals.max() if len(vals) else None,
+            })
+        return pd.DataFrame(rows)
+
+    return partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"), ["column"], final,
+        num_partitions=num_partitions,
+    )
+
+
+def profile_sql(table: str, columns: list[str]) -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               MIN(CAST({c} AS VARCHAR)) AS min_v,
+               MAX(CAST({c} AS VARCHAR)) AS max_v
+            FROM {table}"""
+        for c in columns
+    ]
+    return " UNION ALL ".join(parts)
