@@ -265,6 +265,8 @@ def grouped_corr(ds, by: str, x_col: str, y_col: str, *,
     from ..state.groupby import partition_reduce
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # SQL CORR/REGR_SLOPE ignore rows where either side is NULL
+        df = df.dropna(subset=[x_col, y_col])
         x, y = df[x_col].astype("float64"), df[y_col].astype("float64")
         return pd.DataFrame({
             by: df[by], "n": 1.0, "sx": x, "sy": y,
