@@ -79,3 +79,29 @@ class TestBuilder:
         pages = rd.read_parquet(corpus_path, columns=["url", "warc_ts", "html", "lang"])
         docs = assemble(pages, ["docs"], cfg)
         assert {r["lang"] for r in docs.take_all()} <= {"de", "fr"}
+
+
+class TestCLI:
+    """python -m docprocai_service_ray (in-process: main() reuses the
+    session fixture's Ray and must NOT shut it down)."""
+
+    def test_cli_runs_checkpointed_job(self, tmp_path, capsys):
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+        import ray
+
+        from docprocai_service_ray.__main__ import main
+        from docprocai_service_ray.sources.webgen import pages_table
+
+        pages = str(tmp_path / "pages"); os.makedirs(pages)
+        pq.write_table(pages_table(42, list(range(80))),
+                       os.path.join(pages, "p.parquet"))
+        rc = main([pages, "--out", str(tmp_path / "kg"), "--with-link-graph"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["stages"]["docs"] > 0
+        assert out["stages"]["triples"] > 0
+        assert "host_ranks" in out["stages"]
+        assert ray.is_initialized()  # the caller's session survived
