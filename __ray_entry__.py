@@ -990,6 +990,11 @@ def oracle_sql() -> dict[str, str]:
     from docprocai_service_ray.stages.textstats import profile_sql
 
     sql["orders_profile"] = profile_sql("orders", _PROFILE_COLS)
+    from docprocai_service_ray.stages.quantiles import histogram_sql
+
+    sql["value_histogram"] = histogram_sql(
+        "events", "value", 0.0, 500.0, 20, by="event_type",
+    )
 
     sql["boilerplate_by_source"] = boilerplate_sql(
         "documents", "doc_id", "text", "source",

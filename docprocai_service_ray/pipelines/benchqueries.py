@@ -640,6 +640,15 @@ def value_quantiles_disc(sf_dir: str):
 _PROFILE_COLS = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
 
 
+def value_histogram(sf_dir: str):
+    """Per-event-type equi-width value histogram (stages/quantiles.
+    fixed_histogram): integer bincount partials, exactly mergeable."""
+    from ..stages.quantiles import fixed_histogram
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    return fixed_histogram(ds, "value", 0.0, 500.0, 20, by="event_type")
+
+
 def orders_profile(sf_dir: str):
     """Ingest-time data-quality profile (stages/textstats.profile_table):
     per-column rows / nulls / distincts / min / max in one pass."""
@@ -1227,6 +1236,7 @@ QUERIES = {
     "lineitem_price_corr": lineitem_price_corr,
     "event_customer_coverage": event_customer_coverage,
     "orders_profile": orders_profile,
+    "value_histogram": value_histogram,
     "region_customer_rollup": region_customer_rollup,
     "supplier_nation_stats": supplier_nation_stats,
     "exact_dedup_docs": exact_dedup_docs,

@@ -188,3 +188,57 @@ def quantile_disc_sql(table: str, by: str, value_col: str, qs: list[float],
     )
     return (f"SELECT {by}, COUNT(*) AS n, {cells} "
             f"FROM {table} GROUP BY {by}")
+
+
+def fixed_histogram(ds, value_col: str, lo: float, hi: float, bins: int, *,
+                    by: str | None = None, num_partitions: int = 4):
+    """Equi-width histogram over [lo, hi): per-batch ``np.bincount``
+    partials are EXACTLY mergeable integers, so one tiny grouped sum
+    finishes it — the single-pass distribution scan that pairs with
+    profile_table. Values outside the range clamp into the edge bins
+    (SQL twin uses the identical clamp), ``by`` adds per-group histograms.
+    Output: (bin, lo_edge, n) [+ by]."""
+    import pandas as pd
+
+    from ..state.groupby import partition_reduce
+
+    width = (hi - lo) / bins
+    keys = ([by] if by else []) + ["bin"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        if by:
+            out = pd.DataFrame({by: df[by], "bin": b})
+            out = out.groupby([by, "bin"], as_index=False).agg(n=("bin", "size"))
+        else:
+            c = np.bincount(b, minlength=bins)
+            nz = np.flatnonzero(c)
+            out = pd.DataFrame({"bin": nz.astype("int64"), "n": c[nz]})
+        return out
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby(keys, as_index=False).agg(n=("n", "sum"))
+        out["n"] = out["n"].astype("int64")
+        out["lo_edge"] = (lo + out["bin"] * width).round(6)
+        return out
+
+    return partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"), keys, final,
+        num_partitions=num_partitions,
+    )
+
+
+def histogram_sql(table: str, value_col: str, lo: float, hi: float,
+                  bins: int, by: str | None = None) -> str:
+    width = (hi - lo) / bins
+    b = (f"CAST(least(greatest(floor(({value_col} - {lo}) / {width}), 0), "
+         f"{bins - 1}) AS BIGINT)")
+    grp = f"{by}, bin" if by else "bin"
+    sel = f"{by}, " if by else ""
+    return f"""
+        WITH t AS (SELECT {sel}{b} AS bin FROM {table})
+        SELECT {grp}, COUNT(*) AS n,
+               ROUND({lo} + bin * {width}, 6) AS lo_edge
+        FROM t GROUP BY {grp}
+    """
