@@ -989,7 +989,8 @@ def oracle_sql() -> dict[str, str]:
     from docprocai_service_ray.pipelines.benchqueries import _PROFILE_COLS
     from docprocai_service_ray.stages.textstats import profile_sql
 
-    sql["orders_profile"] = profile_sql("orders", _PROFILE_COLS)
+    sql["orders_profile"] = profile_sql("orders", _PROFILE_COLS,
+                                        ts_cols={"o_orderdate"})
     from docprocai_service_ray.stages.quantiles import histogram_sql
 
     sql["value_histogram"] = histogram_sql(

@@ -94,7 +94,9 @@ def _links_frame_fn(url_col: str, html_col: str):
         abs_host = hrefs.str.extract(_HOST_RE, expand=False).to_numpy()
         is_rel = hrefs.str.startswith("/").to_numpy()
         dst = np.where(is_abs, abs_host, np.where(is_rel, src, None))
-        keep = pd.notna(dst)
+        # non-http(s) page urls have no src host — excluded (the SQL twin
+        # filters the same rows with regexp_matches on the url)
+        keep = pd.notna(dst) & pd.notna(src)
         return pd.DataFrame({
             "url": np.repeat(df[url_col].to_numpy(), counts)[keep],
             "src_host": src[keep],
@@ -242,6 +244,7 @@ def linkgraph_sql(pages_glob: str) -> str:
         WITH raw AS (
             SELECT url, TRY_CAST(html AS VARCHAR) AS s
             FROM read_parquet('{pages_glob}')
+            WHERE regexp_matches(url, '^https?://')
         ),
         links AS (
             SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src_host,
@@ -336,6 +339,7 @@ def anchor_terms_sql(pages_glob: str) -> str:
         WITH raw AS (
             SELECT url, TRY_CAST(html AS VARCHAR) AS s
             FROM read_parquet('{pages_glob}')
+            WHERE regexp_matches(url, '^https?://')
         ),
         pairs AS (
             SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src_host,

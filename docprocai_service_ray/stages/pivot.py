@@ -28,7 +28,9 @@ def pivot_table(ds, index_cols: list[str], pivot_col: str,
                 num_partitions: int = 8, round_to: int | None = 2):
     """One row per ``index_cols``, one ``{col_prefix}{category}`` column
     per distinct ``pivot_col`` value; cells are COUNT(*) (``agg='count'``)
-    or SUM(val_col) (``agg='sum'``) over matching rows, 0 where absent."""
+    or SUM(val_col) (``agg='sum'``) over matching rows, 0 where absent.
+    Rows with a NULL index or pivot value are EXCLUDED (crosstab
+    semantics; the SQL twin filters the same rows explicitly)."""
     if agg not in ("count", "sum"):
         raise ValueError(f"agg must be 'count' or 'sum', got {agg!r}")
     if agg == "sum" and val_col is None:
@@ -88,4 +90,7 @@ def pivot_sql(table: str, index_cols: list[str], pivot_col: str,
                 expr = f"ROUND({expr}, {round_to})"
             cells.append(f"{expr} AS {name}")
     idx = ", ".join(index_cols)
-    return f"SELECT {idx}, {', '.join(cells)} FROM {table} GROUP BY {idx}"
+    # mirror pandas crosstab: NULL index/pivot rows never aggregate
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in [*index_cols, pivot_col])
+    return (f"SELECT {idx}, {', '.join(cells)} FROM {table} "
+            f"WHERE {not_null} GROUP BY {idx}")

@@ -164,8 +164,13 @@ def grouped_quantiles_disc(ds, by: str, value_col: str, qs: list[float], *,
     def reduce(part: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for key, g in part.groupby(by, sort=False):
-            vals = np.sort(g[value_col].to_numpy(dtype=np.float64))
+            # SQL quantile_disc ignores NULLs; n follows (COUNT(value))
+            vals = np.sort(g[value_col].dropna().to_numpy(dtype=np.float64))
             n = len(vals)
+            if n == 0:
+                rows.append({by: key, "n": np.int64(0),
+                             **{nm: float("nan") for nm in names}})
+                continue
             # PERCENTILE_DISC: value at rank ceil(q*n) (1-based)
             idx = np.maximum(np.ceil(np.asarray(qs) * n).astype(np.int64), 1) - 1
             rows.append({by: key, "n": np.int64(n),
@@ -186,7 +191,7 @@ def quantile_disc_sql(table: str, by: str, value_col: str, qs: list[float],
         f"AS qd_{int(round(q * 100)):02d}"
         for q in qs
     )
-    return (f"SELECT {by}, COUNT(*) AS n, {cells} "
+    return (f"SELECT {by}, COUNT({value_col}) AS n, {cells} "
             f"FROM {table} GROUP BY {by}")
 
 

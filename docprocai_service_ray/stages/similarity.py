@@ -284,6 +284,10 @@ def label_centroids(ds, label_col: str, vec_col: str, dim: int, *,
     from ..state.groupby import partition_reduce
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({label_col: pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="object")})
         vecs = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
         labels, inv = np.unique(df[label_col].to_numpy(), return_inverse=True)
         sums = np.zeros((len(labels), dim))
@@ -371,6 +375,10 @@ def kmeans(ds, id_col: str, vec_col: str, dim: int, k: int, *,
 
     def make_assign(cent_ref):
         def assign_partial(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                                     "n": pd.Series(dtype="int64"),
+                                     "qsum": pd.Series(dtype="object")})
             cent = ray.get(cent_ref)
             x = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
             # argmin ||x-c||^2 == argmax (x·c - |c|^2/2); ties → lowest id
@@ -416,6 +424,9 @@ def kmeans(ds, id_col: str, vec_col: str, dim: int, k: int, *,
 
     def assign_fn(data):
         def label(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({id_col: pd.Series(dtype="object"),
+                                     "cluster": pd.Series(dtype="int64")})
             cent = ray.get(final_ref)
             x = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
             scores = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)

@@ -179,7 +179,7 @@ def boilerplate_stats(ds, id_col: str, text_col: str, group_col: str, *,
                 continue
             seen = set()
             for s in _SENT_SPLIT_RE.split(t):
-                s = s.strip()
+                s = s.strip(" ")  # SQL twin uses trim() = spaces only
                 if len(s) >= min_chars and s not in seen:
                     seen.add(s)
                     hs.append(hashlib.md5(s.encode("utf-8")).hexdigest())
@@ -295,7 +295,9 @@ def grouped_corr(ds, by: str, x_col: str, y_col: str, *,
 def corr_sql(table: str, by: str, x_col: str, y_col: str,
              round_to: int = 6) -> str:
     return f"""
-        SELECT {by}, COUNT(*) AS n,
+        SELECT {by},
+               COUNT(*) FILTER ({x_col} IS NOT NULL AND {y_col} IS NOT NULL)
+                   AS n,
                ROUND(CORR({x_col}, {y_col}), {round_to}) AS corr,
                ROUND(REGR_SLOPE({y_col}, {x_col}), {round_to}) AS slope
         FROM {table} GROUP BY {by}
@@ -319,9 +321,11 @@ def profile_table(ds, columns: list[str], *, num_partitions: int = 8):
             s = df[c]
             nn = s.dropna()
             if np.issubdtype(s.dtype, np.datetime64):
-                # pandas astype(str) drops a midnight time part; DuckDB's
-                # VARCHAR cast keeps it — format explicitly to match
-                vals = nn.dt.strftime("%Y-%m-%d %H:%M:%S")
+                # fixed microsecond format on BOTH sides (pandas astype(str)
+                # drops midnight; DuckDB's VARCHAR cast trims trailing zeros
+                # differently) — injective for timestamp[us], so n_distinct
+                # stays exact too
+                vals = nn.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
             else:
                 vals = nn.astype(str)
             uniq = vals.drop_duplicates()
@@ -357,14 +361,24 @@ def profile_table(ds, columns: list[str], *, num_partitions: int = 8):
     )
 
 
-def profile_sql(table: str, columns: list[str]) -> str:
-    parts = [
-        f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+def profile_sql(table: str, columns: list[str],
+                ts_cols: set[str] | None = None) -> str:
+    """DuckDB twin of :func:`profile_table`. ``ts_cols`` names the
+    timestamp columns: both sides format them with the same fixed
+    microsecond strftime (DuckDB's bare VARCHAR cast trims trailing
+    zeros; pandas' str cast drops midnight time parts — a shared explicit
+    format sidesteps both)."""
+    ts_cols = ts_cols or set()
+    parts = []
+    for c in columns:
+        v = (f"strftime({c}, '%Y-%m-%d %H:%M:%S.%f')" if c in ts_cols
+             else f"CAST({c} AS VARCHAR)")
+        parts.append(
+            f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
                CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
                COUNT(DISTINCT {c}) AS n_distinct,
-               MIN(CAST({c} AS VARCHAR)) AS min_v,
-               MAX(CAST({c} AS VARCHAR)) AS max_v
+               MIN({v}) AS min_v,
+               MAX({v}) AS max_v
             FROM {table}"""
-        for c in columns
-    ]
+        )
     return " UNION ALL ".join(parts)

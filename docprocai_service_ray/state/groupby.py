@@ -70,4 +70,4 @@ def collect_pandas(ds, columns: list[str]) -> pd.DataFrame:
     df = ds.to_pandas()
     if len(df) == 0:
         return pd.DataFrame({c: pd.Series([], dtype="object") for c in columns})
-    return df
+    return df[list(columns)]  # enforce the declared schema (and prune)

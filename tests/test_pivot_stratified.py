@@ -110,3 +110,68 @@ class TestQuantilesDisc:
         df = pd.DataFrame({"k": ["a"] * 5, "v": [1.0, 2.0, 3.0, 4.0, 100.0]})
         got = grouped_quantiles_disc(_ds(df, 1), "k", "v", [0.5]).to_pandas()
         assert got["qd_50"].iloc[0] == 3.0  # never interpolated
+
+
+class TestNullAndEmptySemantics:
+    """Regressions for the r3 review findings: null handling must match
+    the SQL twins; empty blocks must not crash vector ops."""
+
+    def test_corr_ignores_null_pairs_like_sql(self):
+        from docprocai_service_ray.stages.textstats import corr_sql, grouped_corr
+
+        df = pd.DataFrame({
+            "g": ["a", "a", "a", "a"],
+            "x": [1.0, None, 2.0, 3.0],
+            "y": [2.0, 3.0, None, 6.0],
+        })
+        got = grouped_corr(_ds(df, 2), "g", "x", "y").to_pandas()
+        con = duckdb.connect(); con.register("t", df)
+        want = con.execute(corr_sql("t", "g", "x", "y")).fetchdf()
+        assert got["n"].iloc[0] == want["n"].iloc[0] == 2
+        assert abs(got["corr"].iloc[0] - want["corr"].iloc[0]) < 1e-9
+
+    def test_disc_quantiles_ignore_nulls_like_sql(self):
+        from docprocai_service_ray.stages.quantiles import grouped_quantiles_disc
+
+        df = pd.DataFrame({"k": ["a"] * 3, "v": [1.0, 2.0, None]})
+        got = grouped_quantiles_disc(_ds(df, 1), "k", "v", [0.9]).to_pandas()
+        con = duckdb.connect(); con.register("t", df)
+        want = con.execute(
+            "SELECT k, COUNT(v) AS n, ROUND(quantile_disc(v, 0.9), 6) AS qd_90"
+            " FROM t GROUP BY k"
+        ).fetchdf()
+        assert got["n"].iloc[0] == want["n"].iloc[0] == 2
+        assert got["qd_90"].iloc[0] == want["qd_90"].iloc[0] == 2.0
+
+    def test_pivot_null_keys_excluded_both_sides(self):
+        from docprocai_service_ray.stages.pivot import pivot_sql, pivot_table
+
+        df = pd.DataFrame({"k": ["x", None, "y", "y"], "cat": ["a", "a", None, "a"],
+                           "v": [1.0, 2.0, 4.0, 5.0]})
+        got = pivot_table(_ds(df, 2), ["k"], "cat", agg="count",
+                          categories=["a"]).to_pandas()
+        con = duckdb.connect(); con.register("t", df)
+        want = con.execute(pivot_sql("t", ["k"], "cat", ["a"])).fetchdf()
+        # the NULL-k row and the NULL-cat row are excluded on BOTH sides
+        assert sorted(got["k"]) == sorted(want["k"]) == ["x", "y"]
+        assert dict(zip(got["k"], got["a"])) == dict(zip(want["k"], want["a"]))
+
+    def test_empty_blocks_dont_crash_vector_ops(self):
+        import ray.data as rd
+
+        from docprocai_service_ray.stages.similarity import (
+            kmeans_cluster_sizes,
+            label_centroids,
+        )
+
+        df = pd.DataFrame({
+            "vec_id": np.arange(5, dtype="int64"),
+            "label": np.array([0, 0, 1, 1, 1], dtype="int32"),
+            "embedding": [np.ones(4, dtype=np.float32) * i for i in range(5)],
+        })
+        ds = rd.from_pandas(df).repartition(16)  # most blocks are empty
+        cents = label_centroids(ds, "label", "embedding", 4).to_pandas()
+        assert len(cents) == 2 * 4
+        sizes = kmeans_cluster_sizes(ds, "vec_id", "embedding", 4, 2,
+                                     iters=2, seed=1)
+        assert sizes["size"].sum() == 5
