@@ -81,10 +81,13 @@ def reprocess_urls(
     Atomicity across stages: the per-stage writes are individually atomic
     but the CASCADE is not (a crash between the docs patch and the triples
     rebuild leaves stage DONE rows that are mutually inconsistent) — so an
-    in-flight marker is written before the first patch and cleared after
-    the last; an interrupted cascade's urls are merged into the next
-    ``reprocess_urls`` call automatically, and ``run_kg(resume=True)``
-    refuses to resume over a pending marker.
+    in-flight marker recording each url's SOURCE ``pages_path`` is written
+    before the first patch and cleared after the last; an interrupted
+    cascade's urls are merged into the next ``reprocess_urls`` call and
+    re-driven against their ORIGINAL source (merging them into a different
+    call's pages_path — e.g. a later ``ingest_shard`` over another shard
+    dir — would find no pages there and silently delete their rows), and
+    ``run_kg(resume=True)`` refuses to resume over a pending marker.
 
     Returns the refreshed stage Datasets (same keys as ``run_kg``)."""
     import pyarrow.compute as pc
@@ -98,12 +101,31 @@ def reprocess_urls(
         stage_output_dir,
     )
 
-    urls = set(urls)
+    # (pages_path → urls) source groups: this call's request plus any
+    # half-applied cascade's pending groups. A url requested NOW is
+    # re-driven from THIS call's path (latest request wins) even if a
+    # pending group also lists it.
+    groups: dict[str, set[str]] = {pages_path: set(urls)}
     pending = get_inflight(out_dir, "reprocess")
     if pending:
-        # re-drive the half-applied cascade together with this request
-        urls |= set(pending.get("urls", []))
-    begin_inflight(out_dir, "reprocess", {"urls": sorted(urls)})
+        pend_groups = pending.get("sources")
+        if pend_groups is None and pending.get("urls"):
+            # legacy marker (pre path-recording): written by this same
+            # driver against the caller's path — merge as before
+            pend_groups = [{"pages_path": pages_path,
+                            "urls": pending["urls"]}]
+        for g in pend_groups or []:
+            p = g.get("pages_path") or pages_path
+            groups.setdefault(p, set()).update(g.get("urls", []))
+    for p in [p for p in groups if p != pages_path]:
+        groups[p] -= groups[pages_path]
+        if not groups[p]:
+            del groups[p]
+    begin_inflight(out_dir, "reprocess", {
+        "sources": [{"pages_path": p, "urls": sorted(us)}
+                    for p, us in sorted(groups.items())]
+    })
+    urls = set().union(*groups.values())
 
     url_arr = pa.array(sorted(urls), pa.string())
     url_ref = ray.put(url_arr)
@@ -111,12 +133,17 @@ def reprocess_urls(
     def _drop_urls(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(pc.is_in(t["url"], ray.get(url_ref))))
 
-    # recompute the urls' rows from source (url-dedup is per url, so the
-    # filtered slice is self-contained)
-    pages = read_web_pages(pages_path).map_batches(
-        lambda t: t.filter(pc.is_in(t["url"], ray.get(url_ref))),
-        batch_format="pyarrow",
-    )
+    # recompute each group's rows from ITS source (url-dedup is per url,
+    # so the filtered slice is self-contained; distinct sources union)
+    def _filtered(path: str, us: set[str]):
+        ref = ray.put(pa.array(sorted(us), pa.string()))
+        return read_web_pages(path).map_batches(
+            lambda t, _r=ref: t.filter(pc.is_in(t["url"], ray.get(_r))),
+            batch_format="pyarrow",
+        )
+
+    parts = [_filtered(p, us) for p, us in sorted(groups.items())]
+    pages = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     # per-record recomputes are bounded by len(urls) — materialize them up
     # front so each stage's actor pool spins up and RETIRES before the
     # patch writes run (several live pools can exhaust a small cluster's

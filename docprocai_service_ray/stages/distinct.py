@@ -110,7 +110,11 @@ def grouped_distinct_sketch(ds, by: str, value_col: str, *, precision: int = 12,
         keys, payloads = [], []
         for key, g in df.groupby(by, sort=False):
             keys.append(key)
-            payloads.append(_hll_registers(g[value_col], p).tobytes())
+            # NULLs are excluded BEFORE hashing — astype(str) would turn
+            # them into a distinct 'None'/'nan' value, diverging from the
+            # exact tier (nunique) and SQL COUNT(DISTINCT), which both
+            # ignore NULLs; an all-null group keeps its row with 0
+            payloads.append(_hll_registers(g[value_col].dropna(), p).tobytes())
         return pd.DataFrame({by: pd.Series(keys, dtype=df[by].dtype),
                              "regs": pd.Series(payloads, dtype=object)})
 

@@ -44,8 +44,12 @@ import pandas as pd
 
 from ..state.groupby import partition_reduce
 
-# one compiled regex, shared by every batch; single- or double-quoted hrefs
-_HREF_RE = re.compile(r"""href=['"]([^'"]+)['"]""")
+# one compiled regex, shared by every batch; single- or double-quoted
+# hrefs with PAIRED quotes (backreference), mirroring the SQL oracle's
+# two-pattern union exactly — a value may not contain either quote char
+# (and, per the escaped-BLOB contract, no byte DuckDB escapes with a
+# backslash; see linkgraph_sql)
+_HREF_RE = re.compile(r"""href=(['"])([^'"]+)\1""")
 _HOST_RE = re.compile(r"^https?://([^/]+)")
 
 
@@ -74,7 +78,7 @@ def _links_frame_fn(url_col: str, html_col: str):
         # compiled findall per page (the regex work runs in C; this beats
         # pandas str.extractall 4x — extractall pays a MultiIndex build),
         # then numpy repeat maps matches back to their source rows
-        lists = [_HREF_RE.findall(x) for x in decoded]
+        lists = [[m[1] for m in _HREF_RE.findall(x)] for x in decoded]
         counts = np.fromiter((len(m) for m in lists), dtype=np.int64,
                              count=len(lists))
         total = int(counts.sum())
@@ -237,9 +241,15 @@ def linkgraph_sql(pages_glob: str) -> str:
     """DuckDB oracle for :func:`host_link_edges` over the SAME parquet.
 
     DuckDB cannot decode arbitrary BLOBs (invalid UTF-8 raises), but its
-    BLOB→VARCHAR cast is a deterministic escape (quote = ``\\x27``,
-    non-printables = ``\\xNN``), so the oracle regexes the ESCAPED form —
-    total over every row, including the planted non-UTF-8 edge pages."""
+    BLOB→VARCHAR cast is a deterministic escape (``'`` = ``\\x27``, ``"``
+    = ``\\x22``, non-printables = ``\\xNN``), so the oracle regexes the
+    ESCAPED form — total over every row, including the planted non-UTF-8
+    edge pages. Single- and double-quoted hrefs are two patterns unioned
+    (RE2 has no backreferences); the final aggregate makes the union
+    order irrelevant. Contract note: ``[^\\\\]+`` rejects any escaped
+    byte inside the href value — backslashes / control bytes inside an
+    href diverge from the Python extractor (which keeps them); crawl
+    hrefs don't contain them."""
     return f"""
         WITH raw AS (
             SELECT url, TRY_CAST(html AS VARCHAR) AS s
@@ -249,6 +259,10 @@ def linkgraph_sql(pages_glob: str) -> str:
         links AS (
             SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src_host,
                    unnest(regexp_extract_all(s, 'href=\\\\x27([^\\\\]+)\\\\x27', 1)) AS href
+            FROM raw
+            UNION ALL
+            SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src_host,
+                   unnest(regexp_extract_all(s, 'href=\\\\x22([^\\\\]+)\\\\x22', 1)) AS href
             FROM raw
         ),
         resolved AS (
@@ -279,8 +293,9 @@ def top_hosts_sql(pages_glob: str, k: int = 10) -> str:
 # anchor regex: href attribute directly closing into the anchor text
 # (matches the generator's emission and the SQL twin EXACTLY; a
 # production extractor would tolerate attributes between — kept strict so
-# the DuckDB oracle is bit-equivalent)
-_ANCHOR_RE = re.compile(r"""href=['"]([^'"]+)['"]>([^<]*)<""")
+# the DuckDB oracle is bit-equivalent). Paired quotes via backreference,
+# same contract as _HREF_RE.
+_ANCHOR_RE = re.compile(r"""href=(['"])([^'"]+)\1>([^<]*)<""")
 _TERM_RE = re.compile(r"[a-z0-9]+")
 
 
@@ -301,7 +316,7 @@ def anchor_text_terms(pages, *, url_col: str = "url", html_col: str = "html",
         hosts, terms = [], []
         for i, html in enumerate(decoded):
             src = src_host[i]
-            for href, anchor in _ANCHOR_RE.findall(html):
+            for _q, href, anchor in _ANCHOR_RE.findall(html):
                 if href.startswith(("http://", "https://")):
                     m = _HOST_RE.match(href)
                     dst = m.group(1) if m else None
@@ -333,8 +348,12 @@ def anchor_text_terms(pages, *, url_col: str = "url", html_col: str = "html",
 
 def anchor_terms_sql(pages_glob: str) -> str:
     """DuckDB twin of :func:`anchor_text_terms` over the escaped BLOB cast
-    (parallel unnest of the two capture groups stays row-aligned)."""
-    pat = "'href=\\\\x27([^\\\\]+)\\\\x27>([^<]*)<'"
+    (parallel unnest of the two capture groups stays row-aligned).
+    Single- and double-quoted anchors are two patterns unioned (``'`` =
+    ``\\x27``, ``"`` = ``\\x22`` in the escaped form; RE2 has no
+    backreferences) — the final aggregate makes union order irrelevant."""
+    pat1 = "'href=\\\\x27([^\\\\]+)\\\\x27>([^<]*)<'"
+    pat2 = "'href=\\\\x22([^\\\\]+)\\\\x22>([^<]*)<'"
     return f"""
         WITH raw AS (
             SELECT url, TRY_CAST(html AS VARCHAR) AS s
@@ -343,8 +362,13 @@ def anchor_terms_sql(pages_glob: str) -> str:
         ),
         pairs AS (
             SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src_host,
-                   unnest(regexp_extract_all(s, {pat}, 1)) AS href,
-                   unnest(regexp_extract_all(s, {pat}, 2)) AS anchor
+                   unnest(regexp_extract_all(s, {pat1}, 1)) AS href,
+                   unnest(regexp_extract_all(s, {pat1}, 2)) AS anchor
+            FROM raw
+            UNION ALL
+            SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src_host,
+                   unnest(regexp_extract_all(s, {pat2}, 1)) AS href,
+                   unnest(regexp_extract_all(s, {pat2}, 2)) AS anchor
             FROM raw
         ),
         resolved AS (

@@ -211,6 +211,10 @@ def fixed_histogram(ds, value_col: str, lo: float, hi: float, bins: int, *,
     keys = ([by] if by else []) + ["bin"]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # NULL/NaN rows are excluded (matches the SQL twin's WHERE ... IS
+        # NOT NULL); bucketing NaN through astype(int64) is undefined and
+        # would silently land in bin 0
+        df = df[df[value_col].notna()]
         v = df[value_col].to_numpy(dtype=np.float64)
         b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
         if by:
@@ -242,7 +246,8 @@ def histogram_sql(table: str, value_col: str, lo: float, hi: float,
     grp = f"{by}, bin" if by else "bin"
     sel = f"{by}, " if by else ""
     return f"""
-        WITH t AS (SELECT {sel}{b} AS bin FROM {table})
+        WITH t AS (SELECT {sel}{b} AS bin FROM {table}
+                   WHERE {value_col} IS NOT NULL)
         SELECT {grp}, COUNT(*) AS n,
                ROUND({lo} + bin * {width}, 6) AS lo_edge
         FROM t GROUP BY {grp}

@@ -521,11 +521,22 @@ def asof_join(
     return both.groupby("__part").map_groups(_merge, batch_format="pandas")
 
 
-def _axis_i64(s: pd.Series) -> np.ndarray:
-    """Normalize a join axis to int64 (datetime64 → epoch-ns)."""
+def _axis_raw(s: pd.Series) -> np.ndarray:
+    """Join-axis values for the band predicate: datetime64 → epoch-ns
+    int64; numeric dtypes are kept AS IS (floats are never truncated —
+    the band compares exact raw values)."""
     if np.issubdtype(s.dtype, np.datetime64):
         return s.astype("datetime64[ns]").astype("int64").to_numpy()
-    return s.astype("int64").to_numpy()
+    return s.to_numpy()
+
+
+def _bucket_floor(vals: np.ndarray, width) -> np.ndarray:
+    """floor(v / width) as int64 bucket ids — true floor for negative and
+    float values (``astype(int64)`` truncates toward zero, which mis-tags
+    e.g. t=-0.5 into bucket 0 instead of -1)."""
+    if np.issubdtype(vals.dtype, np.floating) or isinstance(width, float):
+        return np.floor(vals / float(width)).astype(np.int64)
+    return vals.astype(np.int64) // int(width)
 
 
 def interval_join(left, right, *, on: str, right_start: str, right_end: str,
@@ -552,15 +563,19 @@ def interval_join(left, right, *, on: str, right_start: str, right_end: str,
     Degenerate (empty/negative) intervals replicate zero times and match
     nothing.
     """
-    width = int(pd.Timedelta(bucket_width).value) if not isinstance(
-        bucket_width, (int, float)) else int(bucket_width)
+    if isinstance(bucket_width, (int, np.integer)):
+        width: int | float = int(bucket_width)
+    elif isinstance(bucket_width, float):
+        width = float(bucket_width)  # float axes take float widths
+    else:
+        width = int(pd.Timedelta(bucket_width).value)
     if width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     by = by or []
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__tb"] = _axis_i64(df[on]) // width
+        df["__tb"] = _bucket_floor(_axis_raw(df[on]), width)
         return df
 
     def explode_right(df: pd.DataFrame) -> pd.DataFrame:
@@ -568,8 +583,15 @@ def interval_join(left, right, *, on: str, right_start: str, right_end: str,
             out = df.copy()
             out["__tb"] = pd.Series([], dtype="int64")
             return out
-        b0 = _axis_i64(df[right_start]) // width
-        b1 = (_axis_i64(df[right_end]) - 1) // width  # end is exclusive
+        a0, a1 = _axis_raw(df[right_start]), _axis_raw(df[right_end])
+        b0 = _bucket_floor(a0, width)
+        if np.issubdtype(a1.dtype, np.floating) or isinstance(width, float):
+            # exclusive end on a float axis: last covered bucket is
+            # ceil(end/width)-1 (an end exactly on a boundary k*width
+            # covers only up to bucket k-1)
+            b1 = np.ceil(a1 / float(width)).astype(np.int64) - 1
+        else:
+            b1 = (a1.astype(np.int64) - 1) // int(width)
         reps = np.maximum(b1 - b0 + 1, 0)
         out = df.iloc[np.repeat(np.arange(len(df)), reps)].copy()
         offs = np.concatenate(([0], np.cumsum(reps)))[:-1]
@@ -587,8 +609,10 @@ def interval_join(left, right, *, on: str, right_start: str, right_end: str,
     )
 
     def band(df: pd.DataFrame) -> pd.DataFrame:
-        t = _axis_i64(df[on])
-        keep = (_axis_i64(df[right_start]) <= t) & (t < _axis_i64(df[right_end]))
+        # exact raw-value comparison (floats included) — only the bucket
+        # tags above use the int64 view
+        t = _axis_raw(df[on])
+        keep = (_axis_raw(df[right_start]) <= t) & (t < _axis_raw(df[right_end]))
         return df[keep].drop(columns="__tb")
 
     return joined.map_batches(band, batch_format="pandas")
