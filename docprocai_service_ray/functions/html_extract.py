@@ -120,11 +120,13 @@ class _TextExtractor(HTMLParser):
         return "\n".join(lines)
 
 
-def extract_text(html: bytes | None) -> str:
-    """Extract visible text from raw HTML bytes. Pure and deterministic."""
-    if not html:
-        return ""
-    raw = html.decode("utf-8", errors="replace")
+def extract_text_str(raw: str) -> str:
+    """Extract visible text from an ALREADY-DECODED html string — callers
+    that need the decoded string for other per-row work (e.g. the fused
+    href extraction in stages/extract.extract_batch_links) decode once and
+    share it. ``extract_text(b) == extract_text_str(b.decode("utf-8",
+    errors="replace"))`` by construction, preserving the byte-identical
+    per-url invariant."""
     parser = _TextExtractor()
     try:
         parser.feed(raw)
@@ -134,6 +136,13 @@ def extract_text(html: bytes | None) -> str:
         # text was accumulated — still deterministic for identical bytes.
         pass
     return parser.text()
+
+
+def extract_text(html: bytes | None) -> str:
+    """Extract visible text from raw HTML bytes. Pure and deterministic."""
+    if not html:
+        return ""
+    return extract_text_str(html.decode("utf-8", errors="replace"))
 
 
 def content_hash(text: str) -> bytes:

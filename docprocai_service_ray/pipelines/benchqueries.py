@@ -28,7 +28,13 @@ import ray.data as rd
 from ..stages.dedup import exact_dedup
 from ..stages.similarity import brute_force_topk
 from ..stages.textstats import fingerprint_md5, token_counts
-from ..state.joins import anti_join_filter, asof_join, hash_join, semi_join_filter
+from ..state.joins import (
+    anti_join_filter,
+    asof_join,
+    collect_broadcast_df,
+    hash_join,
+    semi_join_filter,
+)
 
 
 def _pq(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -178,7 +184,10 @@ def json_props_sum(sf_dir: str):
 
 def mktsegment_revenue(sf_dir: str):
     """orders ⋈ customer with the dimension side broadcast (ray.put once)."""
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = collect_broadcast_df(
+        _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        ["c_custkey", "c_mktsegment"],
+    )
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
     ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -203,7 +212,9 @@ def mktsegment_revenue(sf_dir: str):
 
 def large_part_lineitems(sf_dir: str):
     """Semi-join via broadcast key set (J4)."""
-    part = _pq(sf_dir, "part", ["p_partkey", "p_size"]).to_pandas()
+    part = collect_broadcast_df(
+        _pq(sf_dir, "part", ["p_partkey", "p_size"]), ["p_partkey", "p_size"]
+    )
     keys_ref = ray.put(set(part.loc[part["p_size"] >= 40, "p_partkey"]))
     ds = _pq(sf_dir, "lineitem", ["l_partkey", "l_returnflag", "l_extendedprice"])
     ds = semi_join_filter(ds, "l_partkey", keys_ref)
@@ -746,8 +757,14 @@ def order_price_quartiles(sf_dir: str):
 def region_customer_rollup(sf_dir: str):
     """Three-way dimension join (region ⋈ nation ⋈ customer) with both tiny
     dims broadcast — the star-schema lookup shape."""
-    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = collect_broadcast_df(
+        _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]),
+        ["n_nationkey", "n_regionkey"],
+    )
+    region = collect_broadcast_df(
+        _pq(sf_dir, "region", ["r_regionkey", "r_name"]),
+        ["r_regionkey", "r_name"],
+    )
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
     ref = ray.put((n2r, r2name))
@@ -775,7 +792,10 @@ def region_customer_rollup(sf_dir: str):
 
 
 def supplier_nation_stats(sf_dir: str):
-    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation = collect_broadcast_df(
+        _pq(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        ["n_nationkey", "n_name"],
+    )
     ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
     ds = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
 

@@ -23,7 +23,13 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, KGConfig
 from ..stages.canonicalize import build_entity_map
-from ..stages.extract import build_docs, dedup_urls, drop_empty, extract_docs
+from ..stages.extract import (
+    DOCS_SCHEMA,
+    build_docs,
+    dedup_urls,
+    drop_empty,
+    extract_docs,
+)
 from ..stages.materialize import build_triples_auto
 from ..stages.mention import build_mentions
 from ..stages.segment import build_sentences
@@ -148,8 +154,17 @@ def reprocess_urls(
     # front so each stage's actor pool spins up and RETIRES before the
     # patch writes run (several live pools can exhaust a small cluster's
     # CPUs and deadlock the streaming executor), and so re-use below never
-    # re-executes extraction
-    docs_new = build_docs(pages, cfg).materialize()
+    # re-executes extraction. When the link graph is checkpointed, the
+    # slice extraction runs FUSED (emit_links) so the url_links patch
+    # derives from the same pass instead of re-scanning the slice's html.
+    link_mode = is_stage_done(out_dir, "url_links") and not cfg.filter_langs
+    if link_mode:
+        docs_all_new = extract_docs(pages, cfg, emit_links=True).materialize()
+        docs_new = drop_empty(
+            dedup_urls(docs_all_new.select_columns(list(DOCS_SCHEMA.names)), cfg)
+        ).materialize()
+    else:
+        docs_new = build_docs(pages, cfg).materialize()
     sentences_new = build_sentences(docs_new, cfg).materialize()
     triples_raw_new = _btr(sentences_new, cfg).materialize()
 
@@ -188,9 +203,15 @@ def reprocess_urls(
             host_edges_from_url_links,
             host_pagerank,
             url_host_links,
+            url_links_from_docs,
         )
 
-        out["url_links"] = _patch("url_links", url_host_links(pages))
+        links_new = (
+            url_links_from_docs(docs_all_new)
+            if link_mode
+            else url_host_links(pages)
+        )
+        out["url_links"] = _patch("url_links", links_new)
         host_edges = host_edges_from_url_links(out["url_links"])
         write_stage(host_edges, out_dir, "host_edges",
                     extra={"reprocessed_urls": len(urls)})
@@ -270,12 +291,43 @@ def run_kg(
         # vocab-sized. No intermediate parquet; maximal stage overlap.
         from ..stages.triple_extract import build_triples_raw_fused
 
-        docs = build_docs(read_web_pages(pages_path), cfg)
+        fused_links = with_link_graph and not cfg.filter_langs
+        if fused_links:
+            # link graph ON: hrefs are extracted in the SAME batch fn that
+            # parses text (extract_batch_links), so the corpus is read and
+            # decoded exactly ONCE for docs + link graph. The fused table
+            # (all captures, text + per-row link partials, NO html) is the
+            # tee point — materialized once, every downstream consumer
+            # (dedup'd docs, triples, link aggregation) derives from it
+            # without re-extraction. Trade vs the plain path: loser
+            # captures are parsed too (their links must count), and the
+            # docs-sized table lives in the object store (spills at scale;
+            # the checkpointed mode writes it to Parquet instead).
+            from ..stages.linkgraph import (
+                host_edges_from_url_links,
+                host_pagerank,
+                url_links_from_docs,
+            )
+
+            docs_all = extract_docs(
+                read_web_pages(pages_path), cfg, emit_links=True
+            ).materialize()
+            docs = drop_empty(
+                dedup_urls(docs_all.select_columns(list(DOCS_SCHEMA.names)), cfg)
+            )
+        else:
+            docs = build_docs(read_web_pages(pages_path), cfg)
         # fused segment+extract: the sentences table is derived lazily for
         # consumers that want it, but the triple path never materializes it
         sentences = build_sentences(docs, cfg)
         triples_raw = build_triples_raw_fused(docs, cfg).materialize()
         out: dict = {"docs": docs, "sentences": sentences, "triples_raw": triples_raw}
+        if fused_links:
+            url_links = url_links_from_docs(docs_all)
+            out["url_links"] = url_links
+            edges = host_edges_from_url_links(url_links).materialize()
+            out["host_edges"] = edges
+            out["host_ranks"] = host_pagerank(edges=edges, cfg=cfg)
         if with_sentence_embeddings:
             from .queries import build_sentence_embeddings
 
@@ -286,10 +338,10 @@ def run_kg(
             from ..stages.summarize import build_doc_summaries
 
             out["doc_summaries"] = build_doc_summaries(sentences, triples_raw, cfg)
-        if with_link_graph:
-            # host-level hyperlink structure of the SAME corpus (one extra
-            # pruned raw-html pass); the edge table is vocab-sized, so
-            # materializing it once feeds PageRank without re-extraction
+        if with_link_graph and not fused_links:
+            # legacy separate-scan path, kept ONLY for cfg.filter_langs
+            # runs (the link graph covers ALL languages; the fused pass
+            # would only see the filtered slice)
             import ray.data as _rd
 
             from ..stages.linkgraph import host_link_edges, host_pagerank
@@ -324,6 +376,10 @@ def run_kg(
     # The HTML parse runs once into docs_raw;
     # the url-dedup winners pass then reads only the (url, warc_ts, hash)
     # projection from Parquet instead of re-running extraction.
+    # With the link graph on, the SAME pass also emits the per-row link
+    # partials (extract_batch_links) — the url_links stage below is then a
+    # pruned re-read of docs_raw, never a second html scan.
+    fused_links = with_link_graph and not cfg.filter_langs
     if cfg.ingest_partitions > 0:
         # partition-granular resume for the (expensive, map-only) ingest:
         # each input-file shard extracts and lands independently; a killed
@@ -331,7 +387,9 @@ def run_kg(
         from ..state.manifest import checkpointed_partitioned
 
         docs_raw = checkpointed_partitioned(
-            lambda files: extract_docs(read_web_pages(files), cfg),
+            lambda files: extract_docs(
+                read_web_pages(files), cfg, emit_links=fused_links
+            ),
             _page_files(pages_path),
             out_dir,
             "docs_raw",
@@ -340,13 +398,27 @@ def run_kg(
         )
     else:
         docs_raw = checkpointed(
-            lambda: extract_docs(read_web_pages(pages_path), cfg),
+            lambda: extract_docs(
+                read_web_pages(pages_path), cfg, emit_links=fused_links
+            ),
             out_dir,
             "docs_raw",
             resume,
         )
+    # a resumed docs_raw may predate the fused-link columns — detect from
+    # its actual schema, not the requested mode
+    docs_raw_has_links = "link_dst" in docs_raw.schema().names
+    if docs_raw_has_links:
+        # dedup/docs must not carry the link columns — prune at the read
+        from ..state.manifest import stage_output_dir as _sod
+
+        docs_src = rd.read_parquet(
+            _sod(out_dir, "docs_raw"), columns=list(DOCS_SCHEMA.names)
+        )
+    else:
+        docs_src = docs_raw
     docs = checkpointed(
-        lambda: drop_empty(dedup_urls(docs_raw, cfg)), out_dir, "docs", resume
+        lambda: drop_empty(dedup_urls(docs_src, cfg)), out_dir, "docs", resume
     )
     sentences = checkpointed(
         lambda: build_sentences(docs, cfg), out_dir, "sentences", resume
@@ -397,18 +469,33 @@ def run_kg(
             host_edges_from_url_links,
             host_pagerank,
             url_host_links,
+            url_links_from_docs,
         )
 
         # per-url partials are the PATCHABLE checkpoint (reprocess/ingest
         # delete a url's rows and re-derive them like docs/sentences); the
         # host-level stages re-derive by aggregation (corpus-level cascade)
-        url_links = checkpointed(
-            lambda: url_host_links(
-                _rd.read_parquet(pages_path, columns=["url", "html"])),
-            out_dir,
-            "url_links",
-            resume,
-        )
+        if docs_raw_has_links:
+            # fused: a pruned 4-column re-read of the docs_raw checkpoint
+            # (url + link partials) — no second html scan
+            from ..state.manifest import stage_output_dir as _sod2
+
+            def _links_src():
+                return url_links_from_docs(
+                    _rd.read_parquet(
+                        _sod2(out_dir, "docs_raw"),
+                        columns=["url", "src_host", "link_dst", "link_n"],
+                    )
+                )
+        else:
+            # legacy scan: cfg.filter_langs runs (link graph covers ALL
+            # languages) or a docs_raw checkpoint from a pre-fusion run
+            def _links_src():
+                return url_host_links(
+                    _rd.read_parquet(pages_path, columns=["url", "html"])
+                )
+
+        url_links = checkpointed(_links_src, out_dir, "url_links", resume)
         out["url_links"] = url_links
         host_edges = checkpointed(
             lambda: host_edges_from_url_links(url_links),

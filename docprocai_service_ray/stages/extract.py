@@ -45,29 +45,64 @@ DOCS_SCHEMA = pa.schema(
 )
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
-    """Pure per-row extraction; drops the html column. Empty-text rows are
-    KEPT (url-dedup must see every capture; drop_empty runs after dedup)."""
-    htmls = batch["html"].to_pylist()
-    urls = batch["url"].to_pylist()
-    tss = batch["warc_ts"].to_pylist()
-    langs = batch["lang"].to_pylist()
+DOCS_LINKS_SCHEMA = pa.schema(
+    list(DOCS_SCHEMA)
+    + [
+        pa.field("src_host", pa.string()),
+        pa.field("link_dst", pa.list_(pa.string())),
+        pa.field("link_n", pa.list_(pa.int64())),
+    ]
+)
+
+
+def _doc_arrays(batch: pa.Table, decoded: list[str]) -> list[pa.Array]:
+    from ..functions.html_extract import extract_text_str
+
     out_text, out_n, out_h = [], [], []
-    for html in htmls:
-        text = extract_text(html) or ""
+    for raw in decoded:
+        text = extract_text_str(raw) if raw else ""
         out_text.append(text)
         out_n.append(len(text))
         out_h.append(content_hash(text))
+    return [
+        pa.array(batch["url"].to_pylist(), pa.string()),
+        pa.array(batch["warc_ts"].to_pylist(), pa.timestamp("us")),
+        pa.array(batch["lang"].to_pylist(), pa.string()),
+        pa.array(out_text, pa.string()),
+        pa.array(out_n, pa.int64()),
+        pa.array(out_h, pa.binary(16)),
+    ]
+
+
+def _decode(htmls: list) -> list[str]:
+    return [
+        h.decode("utf-8", errors="replace") if h else "" for h in htmls
+    ]
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """Pure per-row extraction; drops the html column. Empty-text rows are
+    KEPT (url-dedup must see every capture; drop_empty runs after dedup)."""
     return pa.Table.from_arrays(
-        [
-            pa.array(urls, pa.string()),
-            pa.array(tss, pa.timestamp("us")),
-            pa.array(langs, pa.string()),
-            pa.array(out_text, pa.string()),
-            pa.array(out_n, pa.int64()),
-            pa.array(out_h, pa.binary(16)),
-        ],
+        _doc_arrays(batch, _decode(batch["html"].to_pylist())),
         schema=DOCS_SCHEMA,
+    )
+
+
+def extract_batch_links(batch: pa.Table) -> pa.Table:
+    """``extract_batch`` + per-row cross-host link partials computed from
+    the SAME decoded html string — the link graph rides the main
+    extraction pass instead of a second raw-html corpus scan (the one
+    duplicated full read+parse VERDICT r3 flagged). Text output is
+    byte-identical to ``extract_batch`` (shared ``extract_text_str``)."""
+    from .linkgraph import link_partial_arrays
+
+    urls = batch["url"].to_pylist()
+    decoded = _decode(batch["html"].to_pylist())
+    src_host, link_dst, link_n = link_partial_arrays(urls, decoded)
+    return pa.Table.from_arrays(
+        _doc_arrays(batch, decoded) + [src_host, link_dst, link_n],
+        schema=DOCS_LINKS_SCHEMA,
     )
 
 
@@ -132,21 +167,36 @@ def dedup_urls(docs_ds, cfg: KGConfig):
         # never per-row take_all
         win_df = collect_pandas(
             dup_winners, ["url", "warc_ts", "content_hash", "n_win_copies"])
-    win_map = dict(zip(win_df["url"], zip(win_df["warc_ts"], win_df["content_hash"])))
     tie_urls = sorted(win_df.loc[win_df["n_win_copies"] > 1, "url"])
-    if not win_map:
+    if win_df.empty:
         return docs_ds
-    ref = ray.put(win_map)
+    # parallel winner arrays broadcast once; the filter is pure
+    # pyarrow.compute (index_in + take + equal) — no per-row Python
+    # (the _PartialAgg._canon pattern, stages/materialize.py)
+    ref = ray.put(
+        (
+            pa.array(win_df["url"], pa.string()),
+            pa.array(win_df["warc_ts"]).cast(pa.timestamp("us")),
+            pa.array(win_df["content_hash"], pa.binary()),
+        )
+    )
 
     def keep(batch: pa.Table) -> pa.Table:
-        wm = ray.get(ref)
-        urls = batch["url"].to_pylist()
-        tss = batch["warc_ts"].to_pylist()
-        hs = batch["content_hash"].to_pylist()
-        mask = [
-            (u not in wm) or ((ts, h) == wm[u]) for u, ts, h in zip(urls, tss, hs)
-        ]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        import pyarrow.compute as pc
+
+        w_url, w_ts, w_h = ray.get(ref)
+        idx = pc.index_in(batch["url"], value_set=w_url)
+        mask = pc.or_kleene(
+            pc.is_null(idx),
+            pc.and_(
+                pc.equal(batch["warc_ts"], pc.take(w_ts, idx)),
+                pc.equal(
+                    batch["content_hash"].cast(pa.binary()),
+                    pc.take(w_h, idx),
+                ),
+            ),
+        )
+        return batch.filter(mask)
 
     filtered = docs_ds.map_batches(keep, batch_format="pyarrow")
     if not tie_urls:
@@ -275,19 +325,27 @@ def dedup_urls_meta(pages_ds, cfg: KGConfig):
             return _dedup_meta_join_tier(pages_ds, dup_winners, cfg)
         # Arrow-concat collect, never per-row take_all
         win_df = collect_pandas(dup_winners, ["url", "warc_ts", "n_at_max"])
-    win_map = dict(zip(win_df["url"], win_df["warc_ts"]))
     tie_urls = sorted(win_df.loc[win_df["n_at_max"] > 1, "url"])
-    if not win_map:
+    if win_df.empty:
         return extract_docs(pages_ds, cfg)
-    ref = ray.put(win_map)
+    # parallel winner arrays + pure pyarrow.compute filter (see dedup_urls)
+    ref = ray.put(
+        (
+            pa.array(win_df["url"], pa.string()),
+            pa.array(win_df["warc_ts"]).cast(pa.timestamp("us")),
+        )
+    )
 
     def keep(batch: pa.Table) -> pa.Table:
-        wm = ray.get(ref)
-        mask = [
-            (u not in wm) or (ts == wm[u])
-            for u, ts in zip(batch["url"].to_pylist(), batch["warc_ts"].to_pylist())
-        ]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        import pyarrow.compute as pc
+
+        w_url, w_ts = ray.get(ref)
+        idx = pc.index_in(batch["url"], value_set=w_url)
+        mask = pc.or_kleene(
+            pc.is_null(idx),
+            pc.equal(batch["warc_ts"], pc.take(w_ts, idx)),
+        )
+        return batch.filter(mask)
 
     docs = extract_docs(pages_ds.map_batches(keep, batch_format="pyarrow"), cfg)
     if not tie_urls:
@@ -381,12 +439,16 @@ def _dedup_meta_join_tier(pages_ds, dup_winners, cfg: KGConfig):
     return base.union(tied_best)
 
 
-def extract_docs(pages_ds, cfg: KGConfig):
+def extract_docs(pages_ds, cfg: KGConfig, *, emit_links: bool = False):
     """web_pages Dataset → raw extracted docs (not yet url-deduped; includes
-    empty-text rows — see module docstring step ordering)."""
+    empty-text rows — see module docstring step ordering).
+
+    ``emit_links=True`` adds the per-row link-partial columns
+    (``src_host``/``link_dst``/``link_n``, DOCS_LINKS_SCHEMA) so the host
+    link graph derives from THIS pass instead of re-scanning raw html."""
     pages_ds = filter_langs(pages_ds, cfg)
     return pages_ds.map_batches(
-        extract_batch,
+        extract_batch_links if emit_links else extract_batch,
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
         zero_copy_batch=True,

@@ -380,10 +380,18 @@ def connected_components(triples, cfg=None, *, num_partitions: int = 32):
     return hash_join(labels, sizes, on="component_id")
 
 
-def khop_neighborhood(triples, seed: str, k: int = 2):
+def khop_neighborhood(triples, seed: str, k: int = 2,
+                      max_frontier: int = 5_000_000):
     """Entities reachable from ``seed`` within ``k`` directed hops, with
     their BFS hop distance (seed itself at hop 0). Driver state is the
-    answer set only — see module docstring for the scale contract."""
+    answer set only — see module docstring for the scale contract.
+
+    ``max_frontier`` bounds that contract LOUDLY: a hub seed on a web-scale
+    graph can make a single hop's distinct-neighbor set driver-sized, so
+    the per-hop distinct count is checked (metadata-only, after the
+    distinct shuffle) BEFORE collecting — the guard raises with the
+    offending hop instead of OOMing the driver (same discipline as
+    ``asof_join.max_partition_rows``)."""
     import pyarrow.compute as pc
 
     edges = triple_edges(triples).materialize() if k > 1 else triple_edges(triples)
@@ -398,7 +406,17 @@ def khop_neighborhood(triples, seed: str, k: int = 2):
             return hit.select(["dst"])
 
         reached = edges.map_batches(step, batch_format="pyarrow")
-        dd = distinct_rows(reached, ["dst"]).to_pandas()
+        dd = distinct_rows(reached, ["dst"]).materialize()
+        n_new = dd.count()  # metadata-only on a materialized dataset
+        if n_new > max_frontier:
+            raise ValueError(
+                f"khop_neighborhood hop {hop} reaches {n_new} distinct "
+                f"nodes (> max_frontier={max_frontier}) — the neighborhood "
+                "is not driver-sized; aggregate it distributed (e.g. "
+                "entity_degree / pagerank over the k-hop edge slice) or "
+                "raise the bound"
+            )
+        dd = dd.to_pandas()
         # empty datasets collect to a column-less frame — treat as no hits
         new = sorted(
             (set(dd["dst"]) if "dst" in dd.columns else set()) - visited.keys()

@@ -111,6 +111,98 @@ def _links_frame_fn(url_col: str, html_col: str):
     return per_batch
 
 
+def link_partial_arrays(urls: list, decoded: list[str]):
+    """Per-ROW cross-host link partials as Arrow arrays aligned with the
+    input rows: ``(src_host: string, link_dst: list<string>, link_n:
+    list<int64>)`` — the fused-extraction building block (the href
+    findall runs on the SAME decoded html string the text extractor
+    already has in hand, so the link graph costs no second corpus scan;
+    VERDICT r3 item 1). Same-host and schemeless-relative resolution
+    semantics are identical to :func:`extract_links`; same-host links are
+    dropped HERE (they never leave the batch), matching
+    :func:`url_host_links`. Rows without an http(s) src host get empty
+    lists. Within a row, dst hosts are emitted in sorted order —
+    deterministic at any batching."""
+    import pyarrow as pa
+
+    n_rows = len(urls)
+    src_host = np.array(
+        [m.group(1) if u and (m := _HOST_RE.match(u)) else None for u in urls],
+        dtype=object,
+    )
+    lists = [[m[1] for m in _HREF_RE.findall(x)] for x in decoded]
+    counts = np.fromiter((len(m) for m in lists), dtype=np.int64, count=n_rows)
+    total = int(counts.sum())
+    src_arr = pa.array(src_host, pa.string())
+    empty_offsets = pa.array(np.zeros(n_rows + 1, dtype=np.int32))
+    if total == 0:
+        return (
+            src_arr,
+            pa.ListArray.from_arrays(empty_offsets, pa.array([], pa.string())),
+            pa.ListArray.from_arrays(empty_offsets, pa.array([], pa.int64())),
+        )
+    hrefs = pd.Series(
+        np.concatenate([np.asarray(m, dtype=object) for m in lists if m]),
+        dtype="object",
+    )
+    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    src = np.repeat(src_host, counts)
+    is_abs = hrefs.str.match(_HOST_RE).to_numpy()
+    abs_host = hrefs.str.extract(_HOST_RE, expand=False).to_numpy()
+    is_rel = hrefs.str.startswith("/").to_numpy()
+    dst = np.where(is_abs, abs_host, np.where(is_rel, src, None))
+    keep = pd.notna(dst) & pd.notna(src) & (dst != src)
+    if not keep.any():
+        return (
+            src_arr,
+            pa.ListArray.from_arrays(empty_offsets, pa.array([], pa.string())),
+            pa.ListArray.from_arrays(empty_offsets, pa.array([], pa.int64())),
+        )
+    g = (
+        pd.DataFrame({"i": row_idx[keep], "dst": dst[keep]})
+        .groupby(["i", "dst"], as_index=False, sort=True)
+        .size()
+    )
+    i_arr = g["i"].to_numpy()
+    # offsets[r]..offsets[r+1] = this row's slice of the flat value arrays
+    offsets = pa.array(
+        np.searchsorted(i_arr, np.arange(n_rows + 1)).astype(np.int32)
+    )
+    return (
+        src_arr,
+        pa.ListArray.from_arrays(offsets, pa.array(g["dst"], pa.string())),
+        pa.ListArray.from_arrays(
+            offsets, pa.array(g["size"].to_numpy().astype(np.int64), pa.int64())
+        ),
+    )
+
+
+def url_links_from_docs(docs_links_ds):
+    """(url, src_host, dst_host, n) rows from a fused-extraction table
+    carrying the per-row ``src_host`` / ``link_dst`` / ``link_n`` columns
+    (stages/extract.extract_batch_links) — pure vectorized explode, no
+    html anywhere. The output unions with / replaces the legacy
+    :func:`url_host_links` table (same schema; rows may split per capture
+    instead of per url, and every consumer aggregates)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ld = t.column("link_dst")
+        idx = pc.list_parent_indices(ld)
+        return pa.table(
+            {
+                "url": pc.take(t.column("url"), idx),
+                "src_host": pc.take(t.column("src_host"), idx),
+                "dst_host": pc.list_flatten(ld),
+                "n": pc.list_flatten(t.column("link_n")),
+            }
+        )
+
+    return docs_links_ds.map_batches(explode, batch_format="pyarrow")
+
+
 def url_host_links(pages, *, url_col: str = "url", html_col: str = "html"):
     """Per-URL cross-host link partials: (url, src_host, dst_host, n) —
     the PATCHABLE intermediate of the link graph. Because a url's rows

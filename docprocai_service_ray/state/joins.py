@@ -83,6 +83,30 @@ def auto_buckets(*datasets, default: int = 32, lo: int = 8, hi: int = 4096) -> i
     return min(hi, max(lo, (total // _TARGET_BUCKET_BYTES) + 1))
 
 
+def collect_broadcast_df(ds, columns: list[str], *,
+                         max_bytes: int = 256 << 20):
+    """Size-gated driver collect for a BROADCAST side (dimension tables):
+    prunes to ``columns`` first, then raises LOUDLY when the metadata-only
+    size estimate exceeds ``max_bytes`` instead of OOMing the driver — a
+    caller above the gate should ride :func:`hash_join`'s partitioned tier
+    instead. Same gate discipline as ``emap_broadcast_max_bytes`` /
+    ``winners_broadcast_max`` / ``asof_join.max_partition_rows``."""
+    from .groupby import collect_pandas
+
+    pruned = ds.select_columns(columns)
+    # upper-bound-ish estimate (full input size when projection pushdown
+    # isn't reflected in metadata) — a dim that trips it was never a
+    # broadcast candidate anyway
+    sz = _meta_size_bytes(pruned)
+    if sz is not None and sz > max_bytes:
+        raise ValueError(
+            f"broadcast side is ~{sz >> 20} MiB (> {max_bytes >> 20} MiB "
+            "gate) — too large for a driver collect + ray.put broadcast; "
+            "use hash_join's partitioned tier instead"
+        )
+    return collect_pandas(pruned, columns)
+
+
 def semi_join_filter(ds, column: str, keys_ref: ray.ObjectRef):
     """Keep rows whose ``column`` value is in the broadcast key set."""
 
