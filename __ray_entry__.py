@@ -254,6 +254,64 @@ def _ann_ivf_topk(sf_dir: str):
     )
 
 
+def _ann_index_dir(sf_dir: str) -> str:
+    tok = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/raykg_annidx/{tok}_d64_p8_l32_s{_CFG.seed}"
+
+
+def _ensure_ann_index(sf_dir: str) -> str:
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.annindex import build_ann_index
+
+    return build_ann_index(
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        _ann_index_dir(sf_dir),
+        dim=64, n_planes=8, n_lists=32, seed=_CFG.seed, extra_cols=("label",),
+    )
+
+
+def _ann_indexed_topk(sf_dir: str):
+    """Top-k probe of a PERSISTED ANN index (stages/annindex.py): bucket /
+    IVF-list assignments are stored once at ingest (pgvector-column
+    analog, persistence/SegmentDbConnector.py:14,34), the query hashes
+    ONLY its own vector and reads only the probed bucket partitions (hive
+    directory pruning) — zero corpus re-hashing, unlike ann_lsh_topk
+    which re-buckets per call. REAL-SQL-oracled over the index parquet."""
+    from docprocai_service_ray.pipelines.benchqueries import _query_vec
+    from docprocai_service_ray.stages.annindex import ann_indexed_topk
+
+    d = _ensure_ann_index(sf_dir)
+    top = ann_indexed_topk(d, _query_vec(sf_dir), 10, mode="lsh")
+    return top.map_batches(
+        lambda df: df[["vec_id", "label"]], batch_format="pandas"
+    )
+
+
+def _ann_index_sql() -> dict[str, str]:
+    """Real DuckDB SQL over the persisted index parquet (same lazy-ensure
+    contract as _linkgraph_sql: the probe set is pure numpy from the seed,
+    the index is built on demand when Ray is already up)."""
+    import ray
+
+    sf = "/root/testdata/sf0.01"  # driver correctness scale
+    d = _ann_index_dir(sf)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")) and ray.is_initialized():
+        _ensure_ann_index(sf)
+    from docprocai_service_ray.pipelines.benchqueries import _query_vec
+    from docprocai_service_ray.stages.annindex import lsh_probe_buckets
+
+    probe = ", ".join(map(str, lsh_probe_buckets(
+        _query_vec(sf), dim=64, n_planes=8, seed=_CFG.seed)))
+    return {"ann_indexed_topk": f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT v.vec_id, v.label
+        FROM read_parquet('{d}/vectors/*/*.parquet', hive_partitioning=1) v, q
+        WHERE v.bucket IN ({probe})
+        ORDER BY list_cosine_similarity(v.embedding, q.qv) DESC, v.vec_id
+        LIMIT 10
+    """}
+
+
 def _lang_id_docs(sf_dir: str):
     from docprocai_service_ray.pipelines.benchqueries import _pq
     from docprocai_service_ray.stages.textstats import lang_id
@@ -910,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_near_dup": _embedding_near_dup,
             "ann_lsh_topk": _ann_lsh_topk,
             "ann_ivf_topk": _ann_ivf_topk,
+            "ann_indexed_topk": _ann_indexed_topk,
             "lang_id_docs": _lang_id_docs,
             "quality_by_source": _quality_by_source,
             "kg_mentions": _kg_mentions,
@@ -1010,5 +1069,6 @@ def oracle_sql() -> dict[str, str]:
     """
     sql.update(_graph_sql())
     sql.update(_linkgraph_sql())
+    sql.update(_ann_index_sql())
     sql.update(_golden_sql())
     return sql

@@ -275,12 +275,25 @@ def run_kg(
     with_sentence_embeddings: bool = False,
     with_doc_summaries: bool = False,
     with_link_graph: bool = False,
+    with_ann_index: bool = False,
 ) -> dict:
     """Run the full pipeline; returns dict of stage Datasets.
 
     ``alias_table`` is the small side: broadcast once via ray.put and read
     inside actor __init__ (never re-shipped per batch).
+
+    ``with_ann_index=True`` (requires ``with_sentence_embeddings`` and an
+    ``out_dir``) additionally persists an ANN probe index over the stored
+    sentence vectors (stages/annindex.py — bucket/IVF assignments written
+    once at ingest, the pgvector-column analog); queries then probe
+    ``out['ann_index_dir']`` with zero corpus re-hashing.
     """
+    if with_ann_index and (out_dir is None or not with_sentence_embeddings):
+        raise ValueError(
+            "with_ann_index requires out_dir (the index is a persisted "
+            "checkpoint) and with_sentence_embeddings (it indexes the "
+            "stored vectors)"
+        )
     alias_ref = ray.put(alias_table)
 
     if out_dir is None:
@@ -441,6 +454,24 @@ def run_kg(
             "sentence_embeddings",
             resume,
         )
+        if with_ann_index:
+            # persisted probe index over the stored vectors; idempotent
+            # via its _SUCCESS marker (resume-friendly), one streaming
+            # pass — text stays out of the index (url/sent_id + vector +
+            # bucket/ivf_list only)
+            import os as _os
+
+            from ..stages.annindex import build_ann_index
+
+            out["ann_index_dir"] = build_ann_index(
+                out["sentence_embeddings"],
+                _os.path.join(out_dir, "ann_index"),
+                dim=cfg.embedding_dim,
+                seed=cfg.seed,
+                id_col="url",
+                emb_col="embedding",
+                extra_cols=("sent_id",),
+            )
 
     if with_mentions:
         out["mentions"] = checkpointed(
