@@ -393,6 +393,20 @@ def run_kg(
     # partials (extract_batch_links) — the url_links stage below is then a
     # pruned re-read of docs_raw, never a second html scan.
     fused_links = with_link_graph and not cfg.filter_langs
+
+    # stage lineage: every checkpoint records an input fingerprint chained
+    # from its parents' (source files → docs_raw → docs → ...), so a
+    # resumed run detects upstream edits — a changed corpus with an equal
+    # row count no longer resumes silently over stale stages
+    from ..state.manifest import chain_signature, files_signature, table_signature
+
+    src_sig = files_signature(_page_files(pages_path))
+    alias_sig = table_signature(alias_table)
+    sig: dict[str, str | None] = {}
+    sig["docs_raw"] = chain_signature(
+        "docs_raw", src_sig, f"langs={sorted(cfg.filter_langs or [])}",
+        f"links={fused_links}",
+    )
     if cfg.ingest_partitions > 0:
         # partition-granular resume for the (expensive, map-only) ingest:
         # each input-file shard extracts and lands independently; a killed
@@ -408,6 +422,7 @@ def run_kg(
             "docs_raw",
             resume,
             num_partitions=cfg.ingest_partitions,
+            salt=f"langs={sorted(cfg.filter_langs or [])}|links={fused_links}",
         )
     else:
         docs_raw = checkpointed(
@@ -417,6 +432,7 @@ def run_kg(
             out_dir,
             "docs_raw",
             resume,
+            input_sig=sig["docs_raw"],
         )
     # a resumed docs_raw may predate the fused-link columns — detect from
     # its actual schema, not the requested mode
@@ -430,14 +446,20 @@ def run_kg(
         )
     else:
         docs_src = docs_raw
+    sig["docs"] = chain_signature("docs", sig["docs_raw"])
     docs = checkpointed(
-        lambda: drop_empty(dedup_urls(docs_src, cfg)), out_dir, "docs", resume
+        lambda: drop_empty(dedup_urls(docs_src, cfg)), out_dir, "docs", resume,
+        input_sig=sig["docs"],
     )
+    sig["sentences"] = chain_signature("sentences", sig["docs"])
     sentences = checkpointed(
-        lambda: build_sentences(docs, cfg), out_dir, "sentences", resume
+        lambda: build_sentences(docs, cfg), out_dir, "sentences", resume,
+        input_sig=sig["sentences"],
     )
+    sig["triples_raw"] = chain_signature("triples_raw", sig["sentences"])
     triples_raw = checkpointed(
-        lambda: build_triples_raw(sentences, cfg), out_dir, "triples_raw", resume
+        lambda: build_triples_raw(sentences, cfg), out_dir, "triples_raw", resume,
+        input_sig=sig["triples_raw"],
     )
     out: dict = {"docs": docs, "sentences": sentences, "triples_raw": triples_raw}
 
@@ -453,6 +475,7 @@ def run_kg(
             out_dir,
             "sentence_embeddings",
             resume,
+            input_sig=chain_signature("sentence_embeddings", sig["sentences"]),
         )
         if with_ann_index:
             # persisted probe index over the stored vectors; idempotent
@@ -479,6 +502,7 @@ def run_kg(
             out_dir,
             "mentions",
             resume,
+            input_sig=chain_signature("mentions", sig["triples_raw"], alias_sig),
         )
 
     if with_doc_summaries:
@@ -491,6 +515,8 @@ def run_kg(
             out_dir,
             "doc_summaries",
             resume,
+            input_sig=chain_signature(
+                "doc_summaries", sig["sentences"], sig["triples_raw"]),
         )
 
     if with_link_graph:
@@ -526,13 +552,18 @@ def run_kg(
                     _rd.read_parquet(pages_path, columns=["url", "html"])
                 )
 
-        url_links = checkpointed(_links_src, out_dir, "url_links", resume)
+        sig["url_links"] = chain_signature(
+            "url_links", sig["docs_raw"] if docs_raw_has_links else src_sig)
+        url_links = checkpointed(_links_src, out_dir, "url_links", resume,
+                                 input_sig=sig["url_links"])
         out["url_links"] = url_links
+        sig["host_edges"] = chain_signature("host_edges", sig["url_links"])
         host_edges = checkpointed(
             lambda: host_edges_from_url_links(url_links),
             out_dir,
             "host_edges",
             resume,
+            input_sig=sig["host_edges"],
         )
         out["host_edges"] = host_edges
         out["host_ranks"] = checkpointed(
@@ -540,13 +571,17 @@ def run_kg(
             out_dir,
             "host_ranks",
             resume,
+            input_sig=chain_signature("host_ranks", sig["host_edges"]),
         )
 
+    sig["entity_map"] = chain_signature(
+        "entity_map", sig["triples_raw"], alias_sig)
     entity_map = checkpointed(
         lambda: build_entity_map(triples_raw, alias_ref, cfg),
         out_dir,
         "entity_map",
         resume,
+        input_sig=sig["entity_map"],
     )
     out["entity_map"] = entity_map
 
@@ -555,14 +590,20 @@ def run_kg(
         # final output is partitioned by subject bucket (resumable layout)
         from ..state.manifest import is_stage_done, stage_output_dir
 
-        if resume and is_stage_done(out_dir, "triples"):
+        from ..state.manifest import stage_input_sig
+
+        sig["triples"] = chain_signature(
+            "triples", sig["triples_raw"], sig["entity_map"])
+        if resume and is_stage_done(out_dir, "triples") and (
+            stage_input_sig(out_dir, "triples") in (None, sig["triples"])
+        ):
             triples = rd.read_parquet(stage_output_dir(out_dir, "triples"))
         else:
             write_stage(
                 triples,
                 out_dir,
                 "triples",
-                extra={"partitioned_by": "bucket"},
+                extra={"partitioned_by": "bucket", "input_sig": sig["triples"]},
                 write_kwargs={"partition_cols": ["bucket"]},
             )
             triples = rd.read_parquet(stage_output_dir(out_dir, "triples"))

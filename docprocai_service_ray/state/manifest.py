@@ -42,6 +42,62 @@ def _manifest_path(out_dir: str, stage: str) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, f"{stage}.json")
 
 
+# --------------------------- input lineage ---------------------------------
+# Each stage row can carry an ``input_sig`` — a fingerprint of everything
+# its output derives from (source files for ingest stages, parent stages'
+# sigs downstream). ``checkpointed(..., input_sig=...)`` then refuses to
+# resume a DONE stage whose stored sig differs: editing one input shard
+# invalidates exactly the dependent stages instead of resuming silently
+# over stale checkpoints. Rows written before lineage existed (or by
+# per-record patches) have no sig and resume as before.
+
+
+def files_signature(paths: list[str]) -> str:
+    """Fingerprint of input FILES: sha1 over each file's (abspath, size,
+    mtime_ns). Metadata-only — no file is read; an in-place edit bumps
+    mtime, a swapped path changes the name, both invalidate."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
+def table_signature(table) -> str:
+    """Content hash of a small in-memory Arrow table (e.g. the broadcast
+    alias dictionary) via its IPC stream bytes — deterministic for equal
+    content, vocab-sized input only."""
+    import hashlib
+    import io
+
+    import pyarrow as pa
+
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return hashlib.sha1(sink.getvalue()).hexdigest()
+
+
+def chain_signature(*parts: str | None) -> str | None:
+    """Compose a child stage's input sig from its name + parent sigs;
+    ``None`` propagates (unknown lineage → legacy resume behavior)."""
+    if any(p is None for p in parts):
+        return None
+    import hashlib
+
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()
+
+
+def stage_input_sig(out_dir: str, stage: str) -> str | None:
+    try:
+        with open(_manifest_path(out_dir, stage)) as f:
+            return json.load(f).get("input_sig")
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        return None
+
+
 def stage_output_dir(out_dir: str, stage: str) -> str:
     return os.path.join(out_dir, stage)
 
@@ -118,16 +174,23 @@ def _part_manifest_path(out_dir: str, stage: str, pid: int) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, f"{stage}.part-{pid:05d}.json")
 
 
-def is_partition_done(out_dir: str, stage: str, pid: int) -> bool:
+def is_partition_done(out_dir: str, stage: str, pid: int,
+                      input_sig: str | None = None) -> bool:
     p = _part_manifest_path(out_dir, stage, pid)
     pdir = os.path.join(stage_output_dir(out_dir, stage), f"part-{pid:05d}")
     if not os.path.exists(p) or not os.path.isdir(pdir):
         return False
     try:
         with open(p) as f:
-            return json.load(f).get("state") == "DONE"
+            row = json.load(f)
     except (json.JSONDecodeError, OSError):
         return False
+    if row.get("state") != "DONE":
+        return False
+    stored = row.get("input_sig")
+    # a stored sig that DIFFERS means this partition's input files changed
+    # since it landed — stale; missing sigs (pre-lineage rows) resume
+    return input_sig is None or stored is None or stored == input_sig
 
 
 def checkpointed_partitioned(
@@ -137,6 +200,7 @@ def checkpointed_partitioned(
     stage: str,
     resume: bool = True,
     num_partitions: int = 8,
+    salt: str | None = None,
 ):
     """Partition-granular checkpoint for MAP-ONLY stages (each output row
     depends only on its own input partition — never use for shuffles).
@@ -151,14 +215,21 @@ def checkpointed_partitioned(
     """
     import ray.data as rd
 
-    if resume and is_stage_done(out_dir, stage):
-        return rd.read_parquet(stage_output_dir(out_dir, stage))
     input_files = sorted(input_files)
+    stage_sig = chain_signature(files_signature(input_files), salt or "")
+    if resume and is_stage_done(out_dir, stage) and (
+        stage_input_sig(out_dir, stage) in (None, stage_sig)
+    ):
+        return rd.read_parquet(stage_output_dir(out_dir, stage))
     shards = [input_files[i::num_partitions] for i in range(num_partitions)]
     shards = [s for s in shards if s]
     stage_dir = stage_output_dir(out_dir, stage)
     for pid, files in enumerate(shards):
-        if resume and is_partition_done(out_dir, stage, pid):
+        part_sig = chain_signature(files_signature(files), salt or "")
+        # per-partition lineage: editing ONE input shard recomputes ONLY
+        # its partition (the stage-level sig above catches the change and
+        # drops us into this loop; untouched partitions still match)
+        if resume and is_partition_done(out_dir, stage, pid, input_sig=part_sig):
             continue
         final = os.path.join(stage_dir, f"part-{pid:05d}")
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
@@ -177,12 +248,25 @@ def checkpointed_partitioned(
             "wall_s": round(wall, 3),
             "output_path": final,
             "n_input_files": len(files),
+            "input_sig": part_sig,
         }
         os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
         mp = _part_manifest_path(out_dir, stage, pid)
         with open(mp + ".tmp", "w") as f:
             json.dump(row, f)
         os.replace(mp + ".tmp", mp)
+    # a shrunk input file list leaves orphan partitions from the previous
+    # derivation — drop them so the stage read sees exactly this input
+    if os.path.isdir(stage_dir):
+        for name in os.listdir(stage_dir):
+            if name.startswith("part-") and name[5:10].isdigit():
+                pid = int(name[5:10])
+                if pid >= len(shards):
+                    with dir_lock(out_dir):
+                        shutil.rmtree(os.path.join(stage_dir, name),
+                                      ignore_errors=True)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(_part_manifest_path(out_dir, stage, pid))
     # stage-level DONE row once every partition has one
     row = {
         "stage": stage,
@@ -190,6 +274,7 @@ def checkpointed_partitioned(
         "output_path": stage_dir,
         "n_partitions": len(shards),
         "partitioned": True,
+        "input_sig": stage_sig,
     }
     mp = _manifest_path(out_dir, stage)
     with open(mp + ".tmp", "w") as f:
@@ -231,16 +316,28 @@ def get_inflight(out_dir: str, op: str) -> dict | None:
         return None
 
 
-def checkpointed(ds_fn, out_dir: str | None, stage: str, resume: bool = True):
+def checkpointed(ds_fn, out_dir: str | None, stage: str, resume: bool = True,
+                 input_sig: str | None = None):
     """Run ``ds_fn()`` → Dataset, materialized as a parquet checkpoint when
     ``out_dir`` is set; on resume, reuse a DONE stage's files instead of
     recomputing (resume granularity = stage; shuffle stages cannot resume
-    mid-shuffle, SURVEY.md §7.4)."""
+    mid-shuffle, SURVEY.md §7.4).
+
+    ``input_sig`` (optional) is the stage's input lineage fingerprint: a
+    DONE stage whose stored sig exists and DIFFERS is stale (an upstream
+    input changed since it was written) and is recomputed; a row without a
+    stored sig (pre-lineage, or rewritten by a per-record patch) resumes
+    as before."""
     import ray.data as rd
 
     if out_dir is None:
         return ds_fn()
     if resume and is_stage_done(out_dir, stage):
-        return rd.read_parquet(stage_output_dir(out_dir, stage))
-    final = write_stage(ds_fn(), out_dir, stage)
+        stored = stage_input_sig(out_dir, stage)
+        if input_sig is None or stored is None or stored == input_sig:
+            return rd.read_parquet(stage_output_dir(out_dir, stage))
+    final = write_stage(
+        ds_fn(), out_dir, stage,
+        extra={"input_sig": input_sig} if input_sig else None,
+    )
     return rd.read_parquet(final)
