@@ -629,6 +629,48 @@ _TOKEN_DF_SQL = """
 _STRATA_RATES = {"en": 0.2, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8}
 
 
+def _repetition_by_source(sf_dir: str):
+    """Gopher-style within-document repetition filters aggregated per
+    source (stages/textstats.repetition_stats): duplicate-word fraction,
+    top-word fraction, docs over the flag threshold."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.textstats import repetition_stats
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    return repetition_stats(ds, "doc_id", "text", "source",
+                            flag_threshold=0.5)
+
+
+def _packed_doc_spans(sf_dir: str):
+    """GPT-style concat-and-chunk sequence packing over the documents
+    table (stages/packing.pack_spans): each doc's [start_seq, end_seq]
+    span in a 512-token packed stream — a distributed integer prefix sum,
+    bit-identical to the single-threaded cumsum at any parallelism."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.packing import pack_spans
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return pack_spans(ds, "doc_id", "text", budget=512)
+
+
+def _semantic_dedup_keep(sf_dir: str):
+    """SemDeDup-style semantic dedup over the embeddings table
+    (stages/similarity.semantic_dedup): k-means clusters, then
+    within-cluster cosine>=0.4 marks later-id rows as duplicates.
+    Iterative float fixpoint (kmeans) ⇒ golden-frozen; determinism and
+    planted-duplicate behavior tested in tests/test_packing_semdedup.py."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.similarity import semantic_dedup
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    res = semantic_dedup(ds, "vec_id", "embedding", 64, 8,
+                         threshold=0.4, iters=10, seed=_CFG.seed)
+    from docprocai_service_ray.state.groupby import collect_pandas
+
+    df = collect_pandas(res, ["vec_id", "cluster", "kept"])
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def _kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table with
     fixed-point (int64) centroid updates — integer sums are exactly
@@ -941,6 +983,9 @@ _GOLDEN_QUERIES = [
     # iterative clustering; bit-deterministic via fixed-point updates
     # (parallelism invariance + reference mirror in tests/test_kmeans.py)
     "kmeans_embeddings",
+    # SemDeDup: kmeans fixpoint + within-cluster cosine — deterministic
+    # (parallelism invariance + planted-duplicate tests), golden-frozen
+    "semantic_dedup_keep",
 ]
 
 
@@ -972,6 +1017,10 @@ _PRIORITY_QUERIES = [
     "similar_surfaces",
     "weighted_sample_docs",
     "kmeans_embeddings",
+    # new in r4 — no recorded row yet by construction
+    "repetition_by_source",
+    "packed_doc_spans",
+    "semantic_dedup_keep",
 ]
 
 
@@ -1022,6 +1071,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "similar_surfaces": _similar_surfaces,
             "weighted_sample_docs": _weighted_sample_docs,
             "kmeans_embeddings": _kmeans_embeddings,
+            "repetition_by_source": _repetition_by_source,
+            "packed_doc_spans": _packed_doc_spans,
+            "semantic_dedup_keep": _semantic_dedup_keep,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -1083,6 +1135,13 @@ def oracle_sql() -> dict[str, str]:
     sql["boilerplate_by_source"] = boilerplate_sql(
         "documents", "doc_id", "text", "source",
     )
+    from docprocai_service_ray.stages.packing import pack_sql
+    from docprocai_service_ray.stages.textstats import repetition_sql
+
+    sql["repetition_by_source"] = repetition_sql(
+        "documents", "doc_id", "text", "source", flag_threshold=0.5,
+    )
+    sql["packed_doc_spans"] = pack_sql("documents", "doc_id", "text", 512)
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,

@@ -468,3 +468,75 @@ def kmeans_cluster_sizes(ds, id_col: str, vec_col: str, dim: int, k: int, *,
         lambda c: float(norms[int(c)]))
     return sizes[["cluster", "size", "centroid_norm"]].sort_values(
         "cluster").reset_index(drop=True)
+
+
+def semantic_dedup(ds, id_col: str, vec_col: str, dim: int, k: int, *,
+                   threshold: float = 0.4, iters: int = 10, seed: int = 42,
+                   num_partitions: int = 8, max_cluster_rows: int = 200_000):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embedding space, then mark
+    within-cluster near-duplicates. Deterministic keep rule: a row is a
+    duplicate iff an EARLIER-id row in its cluster has cosine >=
+    ``threshold`` (id order, not centroid distance, so the output is
+    reproducible and golden-freezable — kmeans itself is bit-deterministic
+    via fixed-point updates, and each cluster is scored whole in one
+    group, so the result is identical at any parallelism).
+
+    Scale shape: the all-pairs gram matrix is confined to one cluster —
+    the entire point of clustering first; k is chosen so clusters are
+    small (SemDeDup uses k≈10^4-10^5 at web scale). A cluster above
+    ``max_cluster_rows`` raises LOUDLY instead of building an O(n²)
+    matrix (same guard discipline as ``asof_join.max_partition_rows``).
+    Vectors shuffle once, keyed by cluster.
+
+    Returns (id_col, cluster, kept) for every input row.
+    """
+    import ray
+
+    from ..state.groupby import partition_reduce
+
+    centroids, _ = kmeans(ds, id_col, vec_col, dim, k, iters=iters, seed=seed)
+    cent_ref = ray.put(centroids)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 vec_col: pd.Series(dtype="object")})
+        cent = ray.get(cent_ref)
+        x = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
+        scores = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": np.argmax(scores, axis=1).astype("int64"),
+            vec_col: df[vec_col].to_numpy(),
+        })
+
+    labeled = ds.map_batches(label, batch_format="pandas")
+
+    def dedup(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for c, g in part.groupby("cluster", sort=False):
+            if len(g) > max_cluster_rows:
+                raise ValueError(
+                    f"semantic_dedup cluster {int(c)} has {len(g)} rows "
+                    f"(> max_cluster_rows={max_cluster_rows}) — raise k so "
+                    "clusters stay small, or raise the guard explicitly"
+                )
+            g = g.sort_values(id_col)
+            x = np.vstack(g[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(x, axis=1)
+            nrm[nrm == 0] = 1.0
+            xn = x / nrm[:, None]
+            gram = xn @ xn.T
+            dup = np.triu(gram >= threshold, k=1).any(axis=0)
+            out.append(pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                "cluster": np.full(len(g), int(c), dtype="int64"),
+                "kept": ~dup,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return partition_reduce(labeled, ["cluster"], dedup,
+                            num_partitions=num_partitions)

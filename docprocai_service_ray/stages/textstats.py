@@ -382,3 +382,87 @@ def profile_sql(table: str, columns: list[str],
             FROM {table}"""
         )
     return " UNION ALL ".join(parts)
+
+
+def repetition_stats(ds, id_col: str, text_col: str, group_col: str, *,
+                     flag_threshold: float = 0.5, num_partitions: int = 4,
+                     round_to: int = 6):
+    """Gopher-style within-document repetition filters (Rae et al. 2021
+    §A1.1, "Scaling Language Models: ... Gopher", repetition family):
+    per doc, the duplicate-word fraction (1 - distinct/total) and the
+    top-word fraction (most frequent word / total), averaged per
+    ``group_col`` plus a count of docs over ``flag_threshold`` — the
+    cheap pre-filter a pretraining pipeline runs before any dedup.
+
+    Shape: per-doc metrics are map-only (one doc = one row; the word
+    Counter never leaves the batch), then a two-phase grouped mean — only
+    (group, float-sum, count) partials exchange. Scale-safe: the shuffle
+    is O(groups × partitions) rows.
+
+    Empty/None text counts as one empty-string word (``''.split(' ') ==
+    ['']``), matching the SQL twin's ``string_split(coalesce(t,''), ' ')``.
+    """
+    from collections import Counter
+
+    from ..state.groupby import partition_reduce
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.split(" ")
+        nw = toks.str.len().astype("float64")
+        nd = toks.map(lambda ws: len(set(ws))).astype("float64")
+        tc = toks.map(lambda ws: max(Counter(ws).values())).astype("float64")
+        dup = 1.0 - nd / nw
+        top = tc / nw
+        g = pd.DataFrame({
+            group_col: df[group_col], "dup": dup, "top": top,
+            "fl": (dup > flag_threshold).astype("int64"),
+        })
+        return g.groupby(group_col, as_index=False).agg(
+            n=("dup", "size"), dup_sum=("dup", "sum"),
+            top_sum=("top", "sum"), n_flagged=("fl", "sum"),
+        )
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby(group_col, as_index=False).agg(
+            n_docs=("n", "sum"), dup_sum=("dup_sum", "sum"),
+            top_sum=("top_sum", "sum"), n_flagged=("n_flagged", "sum"),
+        )
+        return pd.DataFrame({
+            group_col: out[group_col],
+            "n_docs": out["n_docs"].astype("int64"),
+            "avg_dup_word_frac": (out["dup_sum"] / out["n_docs"]).round(round_to),
+            "avg_top_word_frac": (out["top_sum"] / out["n_docs"]).round(round_to),
+            "n_flagged": out["n_flagged"].astype("int64"),
+        })
+
+    return partition_reduce(
+        ds.map_batches(per_doc, batch_format="pandas"),
+        [group_col], final, num_partitions=num_partitions,
+    )
+
+
+def repetition_sql(table: str, id_col: str, text_col: str, group_col: str,
+                   flag_threshold: float = 0.5, round_to: int = 6) -> str:
+    """DuckDB twin of :func:`repetition_stats` (same space-split, same
+    empty-string-word convention, same strict ``>`` flag rule)."""
+    return f"""
+        WITH pw AS (
+            SELECT {id_col}, {group_col}, w, COUNT(*) AS c
+            FROM (SELECT {id_col}, {group_col},
+                         unnest(string_split(coalesce({text_col}, ''), ' ')) AS w
+                  FROM {table})
+            GROUP BY 1, 2, 3
+        ),
+        per_doc AS (
+            SELECT {id_col}, any_value({group_col}) AS {group_col},
+                   1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_frac,
+                   CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac
+            FROM pw GROUP BY {id_col}
+        )
+        SELECT {group_col}, COUNT(*) AS n_docs,
+               ROUND(AVG(dup_frac), {round_to}) AS avg_dup_word_frac,
+               ROUND(AVG(top_frac), {round_to}) AS avg_top_word_frac,
+               CAST(SUM(CASE WHEN dup_frac > {flag_threshold} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged
+        FROM per_doc GROUP BY 1
+    """
