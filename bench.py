@@ -61,6 +61,11 @@ QUERY_NAMES = [
     "lineitem_price_corr",
     "event_sessions",
     "boilerplate_by_source",
+    # r4 additions: training-data ops (packing prefix-sum, Gopher
+    # repetition filters, SemDeDup over the embeddings table)
+    "packed_doc_spans",
+    "repetition_by_source",
+    "semantic_dedup_keep",
 ]
 
 
@@ -145,9 +150,13 @@ def run_headline(num_cpus: int, skip_queries: bool = False) -> dict:
 
     queries: dict[str, float] = {}
     if not skip_queries:
+        import __ray_entry__ as _entry
+
+        lookup = dict(QUERIES)
+        lookup.update(_entry.queries())
         for name in QUERY_NAMES:
             t0 = time.monotonic()
-            r = QUERIES[name](SF_DIR)
+            r = lookup[name](SF_DIR)
             if hasattr(r, "to_pandas"):
                 r.to_pandas()
             queries[name] = round(time.monotonic() - t0, 3)
