@@ -32,7 +32,10 @@ def pack_spans(ds, id_col: str, text_col: str, budget: int, *,
     tokens and are dropped (mirrors the SQL twin's ``WHERE n_tokens > 0``).
 
     ``id_max`` (the id-domain upper bound) avoids an extra aggregate pass
-    when the caller knows it; ids must be non-negative integers. At 10^10
+    when the caller knows it; ids must be UNIQUE non-negative integers
+    (a duplicated id would make SQL's RANGE-framed window cumsum diverge
+    from the rows-wise cumsum here — and a packing order with ties is
+    meaningless anyway). At 10^10
     docs raise ``num_buckets`` so each bucket's (id, count) pairs fit a
     worker (16 bytes/doc ⇒ ~2.5 GB/bucket at 10^10 docs, 64 buckets).
     """
