@@ -641,6 +641,25 @@ def _repetition_by_source(sf_dir: str):
                             flag_threshold=0.5)
 
 
+def _decontam_by_source(sf_dir: str):
+    """GPT-3-style n-gram benchmark decontamination
+    (stages/decontam.ngram_decontaminate): docs whose 3-grams overlap the
+    held-out benchmark slice (doc_id % 97 == 0), aggregated per source
+    (n=3 on the synthetic word-soup corpus gives real overlap signal —
+    ~35% of docs contaminated at sf0.01; production corpora use n≈13).
+    Auto-tiers broadcast/distributed on benchmark gram count."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.decontam import ngram_decontaminate
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    bench = ds.map_batches(lambda df: df[df["doc_id"] % 97 == 0],
+                           batch_format="pandas")
+    train = ds.map_batches(lambda df: df[df["doc_id"] % 97 != 0],
+                           batch_format="pandas")
+    return ngram_decontaminate(train, bench, "doc_id", "text", "source",
+                               n=3)
+
+
 def _packed_doc_spans(sf_dir: str):
     """GPT-style concat-and-chunk sequence packing over the documents
     table (stages/packing.pack_spans): each doc's [start_seq, end_seq]
@@ -1021,6 +1040,7 @@ _PRIORITY_QUERIES = [
     "repetition_by_source",
     "packed_doc_spans",
     "semantic_dedup_keep",
+    "decontam_by_source",
 ]
 
 
@@ -1072,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "weighted_sample_docs": _weighted_sample_docs,
             "kmeans_embeddings": _kmeans_embeddings,
             "repetition_by_source": _repetition_by_source,
+            "decontam_by_source": _decontam_by_source,
             "packed_doc_spans": _packed_doc_spans,
             "semantic_dedup_keep": _semantic_dedup_keep,
         }
@@ -1142,6 +1163,13 @@ def oracle_sql() -> dict[str, str]:
         "documents", "doc_id", "text", "source", flag_threshold=0.5,
     )
     sql["packed_doc_spans"] = pack_sql("documents", "doc_id", "text", 512)
+    from docprocai_service_ray.stages.decontam import decontam_sql
+
+    sql["decontam_by_source"] = decontam_sql(
+        "(SELECT * FROM documents WHERE doc_id % 97 <> 0)",
+        "(SELECT * FROM documents WHERE doc_id % 97 = 0)",
+        "doc_id", "text", "source", n=3,
+    )
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,

@@ -66,6 +66,7 @@ QUERY_NAMES = [
     "packed_doc_spans",
     "repetition_by_source",
     "semantic_dedup_keep",
+    "decontam_by_source",
 ]
 
 
