@@ -660,6 +660,19 @@ def _decontam_by_source(sf_dir: str):
                                n=3)
 
 
+def _doc_shard_shuffle(sf_dir: str):
+    """Deterministic global shuffle into training shards
+    (stages/sampling.shard_shuffle): every doc gets a (shard, pos) slot in
+    a content-hash-keyed pseudo-random permutation — identical at any
+    parallelism, on any cluster shape, and in SQL (random_shuffle() can
+    promise none of those). Rank via the pack_spans range-bucket shape."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.sampling import shard_shuffle
+
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+    return shard_shuffle(ds, "doc_id", 8, seed=_CFG.seed)
+
+
 def _packed_doc_spans(sf_dir: str):
     """GPT-style concat-and-chunk sequence packing over the documents
     table (stages/packing.pack_spans): each doc's [start_seq, end_seq]
@@ -1041,6 +1054,7 @@ _PRIORITY_QUERIES = [
     "packed_doc_spans",
     "semantic_dedup_keep",
     "decontam_by_source",
+    "doc_shard_shuffle",
 ]
 
 
@@ -1093,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kmeans_embeddings": _kmeans_embeddings,
             "repetition_by_source": _repetition_by_source,
             "decontam_by_source": _decontam_by_source,
+            "doc_shard_shuffle": _doc_shard_shuffle,
             "packed_doc_spans": _packed_doc_spans,
             "semantic_dedup_keep": _semantic_dedup_keep,
         }
@@ -1163,6 +1178,10 @@ def oracle_sql() -> dict[str, str]:
         "documents", "doc_id", "text", "source", flag_threshold=0.5,
     )
     sql["packed_doc_spans"] = pack_sql("documents", "doc_id", "text", 512)
+    from docprocai_service_ray.stages.sampling import shard_shuffle_sql
+
+    sql["doc_shard_shuffle"] = shard_shuffle_sql(
+        "documents", "doc_id", 8, seed=_CFG.seed)
     from docprocai_service_ray.stages.decontam import decontam_sql
 
     sql["decontam_by_source"] = decontam_sql(

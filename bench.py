@@ -67,6 +67,7 @@ QUERY_NAMES = [
     "repetition_by_source",
     "semantic_dedup_keep",
     "decontam_by_source",
+    "doc_shard_shuffle",
 ]
 
 

@@ -192,3 +192,100 @@ def weighted_sample_sql(table: str, cols: list[str], key_col: str,
         WHERE {weight_col} > 0
         ORDER BY exp_key, {key_col} LIMIT {k}
     """
+
+
+def _shuffle_keys(keys: pd.Series, seed: int) -> pd.Series:
+    """Fixed-width 16-hex md5 order key (lexicographic == numeric)."""
+    tag = f"sh{seed}\x1f"
+    return keys.map(
+        lambda k: hashlib.md5((tag + str(k)).encode("utf-8")).hexdigest()[:16]
+    )
+
+
+def shard_shuffle(ds, id_col: str, n_shards: int, *, seed: int = 42,
+                  num_buckets: int = 256, num_partitions: int = 16):
+    """Deterministic global shuffle into training shards: every row gets
+    ``(shard, pos)`` — a pseudo-random permutation of the corpus laid out
+    as ``n_shards`` equal-ish streams, the data-ordering step a trainer
+    runs before writing tokenized shards (so no epoch ever sees the
+    corpus in crawl order). Content-hash keyed: the same row lands at the
+    same (shard, pos) at any parallelism, on any cluster shape, and in
+    SQL — ``random_shuffle()`` can't promise any of that.
+
+    ``shard = int(md5_16[:8], 16) % n_shards``; ``pos`` = rank of the
+    md5 key within the shard (ties broken by id). Rank is computed
+    scalably with the pack_spans range-bucket shape: the md5 key's first
+    byte buckets each shard into ``num_buckets`` ORDERED ranges, one tiny
+    (shard, bucket) count pass gives exclusive offsets (≤ n_shards ×
+    num_buckets ints to the driver — bytes, not data), and a
+    (shard, bucket)-keyed exchange ranks within each range. Only
+    (id, key) pairs move; payload columns never shuffle.
+    """
+    import numpy as np
+    import ray
+
+    from ..state.groupby import collect_pandas, partition_reduce
+
+    if not 1 <= num_buckets <= 256:
+        raise ValueError("num_buckets must be in [1, 256] (first-byte ranges)")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = _shuffle_keys(df[id_col], seed)
+        first_byte = h.str[:2].apply(int, base=16).astype("int64")
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "hkey": h,
+            "shard": (h.str[:8].apply(int, base=16) % n_shards
+                      ).astype("int64"),
+            # range-scaled (NOT mod) so bucket order == key order — the
+            # exclusive offsets below compose only for order-aligned ranges
+            "bucket": (first_byte * num_buckets // 256).astype("int64"),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    partials = tagged.map_batches(
+        lambda df: df.groupby(["shard", "bucket"], as_index=False)
+        .agg(n=(id_col, "size")),
+        batch_format="pandas",
+    )
+    counts = collect_pandas(partials, ["shard", "bucket", "n"])
+    counts = (counts.groupby(["shard", "bucket"], as_index=False)["n"].sum()
+              .sort_values(["shard", "bucket"]))
+    counts["off"] = (counts.groupby("shard")["n"].cumsum() - counts["n"])
+    offsets = {(int(s), int(b)): int(o) for s, b, o in
+               zip(counts["shard"], counts["bucket"], counts["off"])}
+    off_ref = ray.put(offsets)
+
+    def rank(part: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        out = []
+        for (s, b), g in part.groupby(["shard", "bucket"], sort=False):
+            g = g.sort_values(["hkey", id_col])
+            base = offs[(int(s), int(b))]
+            out.append(pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                "shard": np.full(len(g), int(s), dtype="int64"),
+                "pos": base + np.arange(len(g), dtype="int64"),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return partition_reduce(tagged, ["shard", "bucket"], rank,
+                            num_partitions=num_partitions)
+
+
+def shard_shuffle_sql(table: str, id_col: str, n_shards: int, *,
+                      seed: int = 42) -> str:
+    """DuckDB twin of :func:`shard_shuffle` — same md5 key, same shard
+    modulus, same (key, id) rank order."""
+    h = f"substr(md5('sh{seed}' || chr(31) || CAST({id_col} AS VARCHAR)), 1, 16)"
+    return f"""
+        SELECT {id_col},
+               CAST(('0x' || substr({h}, 1, 8))::BIGINT % {n_shards}
+                    AS BIGINT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                        PARTITION BY ('0x' || substr({h}, 1, 8))::BIGINT
+                                     % {n_shards}
+                        ORDER BY {h}, {id_col}) - 1 AS BIGINT) AS pos
+        FROM {table}
+    """
