@@ -673,6 +673,19 @@ def _doc_shard_shuffle(sf_dir: str):
     return shard_shuffle(ds, "doc_id", 8, seed=_CFG.seed)
 
 
+def _lang_mix_weights(sf_dir: str):
+    """Training-mix reweighting (stages/textstats.lang_mix_weights): per
+    language, token share and the uniform-target sampling multiplier
+    min(1, uniform/actual) — the static rebalancing table whose
+    multipliers feed stratified_sample. Lang-keyed int-partial exchange;
+    finisher math on the #languages-row result."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.textstats import lang_mix_weights
+
+    ds = _pq(sf_dir, "documents", ["lang", "text"])
+    return lang_mix_weights(ds, "lang", "text")
+
+
 def _packed_doc_spans(sf_dir: str):
     """GPT-style concat-and-chunk sequence packing over the documents
     table (stages/packing.pack_spans): each doc's [start_seq, end_seq]
@@ -1055,6 +1068,7 @@ _PRIORITY_QUERIES = [
     "semantic_dedup_keep",
     "decontam_by_source",
     "doc_shard_shuffle",
+    "lang_mix_weights",
 ]
 
 
@@ -1108,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "repetition_by_source": _repetition_by_source,
             "decontam_by_source": _decontam_by_source,
             "doc_shard_shuffle": _doc_shard_shuffle,
+            "lang_mix_weights": _lang_mix_weights,
             "packed_doc_spans": _packed_doc_spans,
             "semantic_dedup_keep": _semantic_dedup_keep,
         }
@@ -1182,6 +1197,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["doc_shard_shuffle"] = shard_shuffle_sql(
         "documents", "doc_id", 8, seed=_CFG.seed)
+    from docprocai_service_ray.stages.textstats import lang_mix_sql
+
+    sql["lang_mix_weights"] = lang_mix_sql("documents", "lang", "text")
     from docprocai_service_ray.stages.decontam import decontam_sql
 
     sql["decontam_by_source"] = decontam_sql(

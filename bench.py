@@ -68,6 +68,7 @@ QUERY_NAMES = [
     "semantic_dedup_keep",
     "decontam_by_source",
     "doc_shard_shuffle",
+    "lang_mix_weights",
 ]
 
 

@@ -466,3 +466,72 @@ def repetition_sql(table: str, id_col: str, text_col: str, group_col: str,
                     AS BIGINT) AS n_flagged
         FROM per_doc GROUP BY 1
     """
+
+
+def lang_mix_weights(ds, lang_col: str, text_col: str, *,
+                     round_to: int = 6, num_partitions: int = 4):
+    """Training-mix reweighting table: per language, its token share and
+    the uniform-target sampling multiplier ``min(1, uniform_share /
+    actual_share)`` — the static language-rebalancing step a pretraining
+    mix runs before sampling (downsample dominant languages toward a
+    uniform token budget; the multipliers feed ``stratified_sample``).
+
+    Shape: whitespace token counts are summed per batch (map-only), a
+    lang-keyed exchange of (lang, sum, count) int partials merges them,
+    and the final share/multiplier math runs on the #languages-row
+    result — driver-sized by definition, like the grouped-sketch
+    finishers. Returns a pandas DataFrame sorted by language.
+    """
+    import numpy as np
+
+    from ..state.groupby import collect_pandas, partition_reduce
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.assign(tok=token_counts(df[text_col]))
+                .groupby(lang_col, as_index=False)
+                .agg(s=("tok", "sum"), n=("tok", "size")))
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(lang_col, as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+
+    grouped = partition_reduce(
+        ds.map_batches(per_batch, batch_format="pandas"),
+        [lang_col], merge, num_partitions=num_partitions)
+    df = collect_pandas(grouped, [lang_col, "s", "n"])
+    df = (df.groupby(lang_col, as_index=False).agg(s=("s", "sum"),
+                                                   n=("n", "sum"))
+          .sort_values(lang_col).reset_index(drop=True))
+    total = float(df["s"].sum())
+    uniform = total / max(len(df), 1)
+    tok = df["s"].to_numpy(dtype="float64")
+    return pd.DataFrame({
+        lang_col: df[lang_col],
+        "n_docs": df["n"].astype("int64"),
+        "n_tokens": df["s"].astype("int64"),
+        "token_share": np.round(tok / total, round_to),
+        "multiplier": np.round(np.minimum(1.0, uniform / tok), round_to),
+    })
+
+
+def lang_mix_sql(table: str, lang_col: str, text_col: str,
+                 round_to: int = 6) -> str:
+    """DuckDB twin of :func:`lang_mix_weights` (same whitespace token
+    count as token_stats_by_lang's oracle, same uniform target)."""
+    ntok = (f"SUM(len(list_filter(regexp_split_to_array({text_col}, "
+            f"'\\s+'), x -> x <> '')))")
+    return f"""
+        WITH per_lang AS (
+            SELECT {lang_col}, COUNT(*) AS n_docs,
+                   CAST({ntok} AS BIGINT) AS n_tokens
+            FROM {table} GROUP BY 1
+        )
+        SELECT {lang_col}, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (),
+                     {round_to}) AS token_share,
+               ROUND(LEAST(1.0,
+                     (CAST(SUM(n_tokens) OVER () AS DOUBLE)
+                      / COUNT(*) OVER ()) / n_tokens),
+                     {round_to}) AS multiplier
+        FROM per_lang
+    """

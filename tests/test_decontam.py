@@ -125,3 +125,30 @@ def test_bad_tier_rejected():
     with pytest.raises(ValueError, match="force_tier"):
         ngram_decontaminate(docs, docs, "doc_id", "text", "source",
                             force_tier="nope")
+
+
+# ---- lang_mix_weights (stages/textstats) — same training-mix family ----
+
+def test_lang_mix_weights_brute():
+    from docprocai_service_ray.stages.textstats import (lang_mix_weights,
+                                                        token_counts)
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "fr"], p=[0.7, 0.2, 0.1], size=200),
+        "text": ["word " * int(k) for k in rng.integers(0, 40, size=200)],
+    })
+    df.loc[5, "text"] = None
+    got = lang_mix_weights(rd.from_pandas(df).repartition(6), "lang", "text")
+    toks = df.assign(t=token_counts(df["text"])).groupby("lang")["t"].sum()
+    total, uni = toks.sum(), toks.sum() / len(toks)
+    exp = pd.DataFrame({
+        "lang": toks.index,
+        "n_docs": df.groupby("lang").size().astype("int64").to_numpy(),
+        "n_tokens": toks.astype("int64").to_numpy(),
+        "token_share": (toks / total).round(6).to_numpy(),
+        "multiplier": np.minimum(1.0, uni / toks).round(6).to_numpy(),
+    }).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["multiplier"] <= 1.0).all()
+    assert abs(got["token_share"].sum() - 1.0) < 1e-4
