@@ -325,7 +325,8 @@ _KMEANS_SCALE = float(1 << 32)  # fixed-point quantum for deterministic sums
 
 
 def kmeans(ds, id_col: str, vec_col: str, dim: int, k: int, *,
-           iters: int = 10, seed: int = 42, num_partitions: int = 8):
+           iters: int = 10, seed: int = 42, num_partitions: int = 8,
+           driver_max_bytes: int = 128 << 20):
     """Distributed Lloyd's k-means with BIT-DETERMINISTIC updates.
 
     Float summation is order-dependent, so a naive distributed centroid
@@ -348,6 +349,15 @@ def kmeans(ds, id_col: str, vec_col: str, dim: int, k: int, *,
 
     Returns (centroids: np.ndarray [k, dim], assign_fn) where
     ``assign_fn(ds)`` labels a dataset with ``cluster``.
+
+    Tiering (the standard gate discipline): a vector table whose metadata
+    size fits ``driver_max_bytes`` runs the iterations on the driver with
+    the SAME argmax + fixed-point-int64-sum kernels — integer addition is
+    exactly associative, so the two tiers are BIT-IDENTICAL (parity-
+    tested), and 10 distributed rounds over a vocab-sized table is pure
+    pipeline overhead (~1 s/round of scheduling for µs of matmul). Pass
+    ``driver_max_bytes=0`` to force the distributed tier. Labeling is
+    always a distributed map.
     """
     import hashlib
 
@@ -358,6 +368,15 @@ def kmeans(ds, id_col: str, vec_col: str, dim: int, k: int, *,
 
     def _hash_key(v) -> str:
         return hashlib.md5(f"k{seed}\x1f{v}".encode()).hexdigest()
+
+    if driver_max_bytes:
+        from ..state.joins import _meta_size_bytes
+
+        sz = _meta_size_bytes(ds)
+        if sz is not None and sz <= driver_max_bytes:
+            centroids = _kmeans_driver(ds, id_col, vec_col, dim, k,
+                                       iters=iters, seed=seed)
+            return centroids, _make_label_fn(centroids, id_col, vec_col)
 
     def seed_score(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
@@ -420,6 +439,15 @@ def kmeans(ds, id_col: str, vec_col: str, dim: int, k: int, *,
             new_c[int(r["cluster"])] = tot / r["n"] / _KMEANS_SCALE
         centroids = new_c
 
+    return centroids, _make_label_fn(centroids, id_col, vec_col)
+
+
+def _make_label_fn(centroids: np.ndarray, id_col: str, vec_col: str):
+    """Distributed labeling map shared by both kmeans tiers (centroids
+    broadcast once via ray.put)."""
+    import pandas as pd
+    import ray
+
     final_ref = ray.put(centroids)
 
     def assign_fn(data):
@@ -437,7 +465,36 @@ def kmeans(ds, id_col: str, vec_col: str, dim: int, k: int, *,
 
         return data.map_batches(label, batch_format="pandas")
 
-    return centroids, assign_fn
+    return assign_fn
+
+
+def _kmeans_driver(ds, id_col: str, vec_col: str, dim: int, k: int, *,
+                   iters: int, seed: int) -> np.ndarray:
+    """Driver tier of :func:`kmeans`: one gated collect, then the SAME
+    md5 seeding, argmax assignment and fixed-point int64 centroid sums —
+    integer sums are associative, so the result is bit-identical to the
+    distributed tier at any layout (parity-tested in tests/test_kmeans)."""
+    import hashlib
+
+    from ..state.groupby import collect_pandas
+
+    df = collect_pandas(ds, [id_col, vec_col])
+    if not len(df):
+        raise ValueError("kmeans needs a non-empty dataset")
+    keys = [hashlib.md5(f"k{seed}\x1f{v}".encode()).hexdigest()
+            for v in df[id_col]]
+    order = np.argsort(np.array(keys, dtype=object), kind="stable")[:k]
+    x = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
+    centroids = x[order].copy()
+    q = np.round(x * _KMEANS_SCALE).astype(np.int64)
+    for _ in range(iters):
+        scores = x @ centroids.T - 0.5 * (centroids * centroids).sum(axis=1)
+        lab = np.argmax(scores, axis=1)
+        for c in np.unique(lab):
+            m = lab == c
+            tot = q[m].sum(axis=0, dtype=np.int64).astype(np.float64)
+            centroids[int(c)] = tot / int(m.sum()) / _KMEANS_SCALE
+    return centroids
 
 
 def kmeans_cluster_sizes(ds, id_col: str, vec_col: str, dim: int, k: int, *,

@@ -52,10 +52,15 @@ class TestKmeans:
     def test_matches_reference_and_parallelism_invariant(self):
         df, _ = _blobs()
         want = _reference_kmeans(df, 8, 3, 5, seed=4)
-        for blocks in (1, 13):
-            cent, _fn = kmeans(rd.from_pandas(df).repartition(blocks),
-                               "vec_id", "embedding", 8, 3, iters=5, seed=4)
-            np.testing.assert_array_equal(cent, want)  # BIT-identical
+        # driver_max_bytes=0 forces the distributed tier; default auto-gates
+        # to the driver tier at this size — BOTH must be bit-identical to
+        # the single-process mirror (integer sums are associative)
+        for dmb in (0, 128 << 20):
+            for blocks in (1, 13):
+                cent, _fn = kmeans(rd.from_pandas(df).repartition(blocks),
+                                   "vec_id", "embedding", 8, 3, iters=5,
+                                   seed=4, driver_max_bytes=dmb)
+                np.testing.assert_array_equal(cent, want)  # BIT-identical
 
     def test_recovers_planted_blobs(self):
         df, true_labels = _blobs()
