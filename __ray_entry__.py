@@ -686,6 +686,44 @@ def _lang_mix_weights(sf_dir: str):
     return lang_mix_weights(ds, "lang", "text")
 
 
+_DEDUP_IDX_VER = "v1"
+
+
+def _shard_dedup_probe(sf_dir: str):
+    """Incremental dedup of a new crawl shard against a PERSISTED MinHash
+    index of the existing corpus (stages/dedup.build_dedup_index /
+    probe_dedup_index — index once at ingest, probe every shard; corpus
+    text is never re-shingled and never stored in the index). The shard
+    is a deterministic synthetic recrawl: every doc_id%10==0 doc returns
+    with a new id, half verbatim (est 1.0), half with the last 3 words
+    dropped (near-dup, est ≈ true jaccard, σ≈0.05 at 64 perms).
+    Deterministic (seeded hashing) ⇒ golden-frozen; estimate accuracy and
+    exact/near/novel behavior tested in tests/test_dedup_index.py."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.dedup import (build_dedup_index,
+                                                    probe_dedup_index)
+    from docprocai_service_ray.state.groupby import collect_pandas
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = build_dedup_index(
+        ds, f"/tmp/raykg_dedup_index/{_DEDUP_IDX_VER}_{tag}",
+        "doc_id", "text")
+
+    def recrawl(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 10 == 0]
+        cut = df["doc_id"] % 20 == 0
+        text = df["text"].where(
+            ~cut, df["text"].str.split(" ").str[:-3].str.join(" "))
+        return pd.DataFrame({"doc_id": df["doc_id"] + 1_000_000,
+                             "text": text})
+
+    shard = ds.map_batches(recrawl, batch_format="pandas")
+    res = probe_dedup_index(shard, idx, "doc_id", "text", threshold=0.5)
+    return (collect_pandas(res, ["new_id", "corpus_id", "est_jaccard"])
+            .sort_values(["new_id", "corpus_id"]).reset_index(drop=True))
+
+
 def _packed_doc_spans(sf_dir: str):
     """GPT-style concat-and-chunk sequence packing over the documents
     table (stages/packing.pack_spans): each doc's [start_seq, end_seq]
@@ -1031,6 +1069,10 @@ _GOLDEN_QUERIES = [
     # SemDeDup: kmeans fixpoint + within-cluster cosine — deterministic
     # (parallelism invariance + planted-duplicate tests), golden-frozen
     "semantic_dedup_keep",
+    # persisted-MinHash-index probe: signature-agreement estimates are
+    # approximate BY DESIGN (accuracy vs exact jaccard asserted in
+    # tests/test_dedup_index.py); golden pins the deterministic output
+    "shard_dedup_probe",
 ]
 
 
@@ -1069,6 +1111,7 @@ _PRIORITY_QUERIES = [
     "decontam_by_source",
     "doc_shard_shuffle",
     "lang_mix_weights",
+    "shard_dedup_probe",
 ]
 
 
@@ -1123,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "decontam_by_source": _decontam_by_source,
             "doc_shard_shuffle": _doc_shard_shuffle,
             "lang_mix_weights": _lang_mix_weights,
+            "shard_dedup_probe": _shard_dedup_probe,
             "packed_doc_spans": _packed_doc_spans,
             "semantic_dedup_keep": _semantic_dedup_keep,
         }

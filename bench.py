@@ -69,6 +69,7 @@ QUERY_NAMES = [
     "decontam_by_source",
     "doc_shard_shuffle",
     "lang_mix_weights",
+    "shard_dedup_probe",
 ]
 
 

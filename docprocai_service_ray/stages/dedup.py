@@ -80,19 +80,25 @@ def _pairs_in_bucket(ids: list, cap: int) -> list[tuple]:
 
 
 class _MinhashSig:
-    """Per-batch MinHash banding rows; params + shingle cache per actor."""
+    """Per-batch MinHash banding rows; params + shingle cache per actor.
+    ``emit_sigs=True`` additionally carries each doc's FULL signature
+    bytes on its FIRST band row only (null on the rest — the
+    persisted-index build splits the stream into a bands table and a
+    sigs table; the pair path never pays the column)."""
 
-    def __init__(self, text_col: str, id_col: str, k: int, num_perms: int, bands: int, seed: int):
+    def __init__(self, text_col: str, id_col: str, k: int, num_perms: int,
+                 bands: int, seed: int, emit_sigs: bool = False):
         self.a, self.b = minhash_params(num_perms, seed)
         self.text_col, self.id_col = text_col, id_col
         self.k, self.bands = k, bands
+        self.emit_sigs = emit_sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import zlib
 
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        o_band, o_id = [], []
+        o_band, o_id, o_sig = [], [], []
         rows = self.a.shape[0] // self.bands
         # polynomial rolling hash over per-word crc32s (uint64 wraparound is
         # the mod): no per-shingle string joins — the word hashes are
@@ -118,9 +124,12 @@ class _MinhashSig:
                 key = zlib.crc32(sig_bytes[bi * w : (bi + 1) * w], bi) | (bi << 32)
                 o_band.append(key)
                 o_id.append(i)
-        return pa.Table.from_pydict(
-            {"band": pa.array(o_band, pa.uint64()), "id": o_id}
-        )
+                if self.emit_sigs:
+                    o_sig.append(sig_bytes if bi == 0 else None)
+        cols = {"band": pa.array(o_band, pa.uint64()), "id": o_id}
+        if self.emit_sigs:
+            cols["sig"] = pa.array(o_sig, pa.binary())
+        return pa.Table.from_pydict(cols)
 
 
 def minhash_lsh_pairs(
@@ -466,3 +475,143 @@ def fuzzy_pairs(ds, text_col: str, *, num_partitions: int = 32):
         return out
 
     return cands.map_batches(verify, batch_format="pandas")
+
+
+# ------------------- persisted MinHash index (incremental dedup) -----------
+
+def build_dedup_index(ds, index_dir: str, id_col: str, text_col: str, *,
+                      shingle_words: int = 5, num_perms: int = 64,
+                      bands: int = 16, seed: int = 42) -> str:
+    """Persist the corpus's MinHash state so NEW shards can be near-dup
+    checked against the existing corpus WITHOUT recomputing it — the
+    continuous-crawl analog of stages/annindex.py (index once at ingest,
+    probe forever). Nothing textual is stored: a ``bands`` table
+    (band uint64, id) for candidate generation and a ``sigs`` table
+    (id, 8·num_perms-byte signature) for verification — ~0.6 KB/doc at
+    the defaults vs re-shingling the whole corpus per shard.
+
+    Idempotent (``_SUCCESS`` marker) and atomic (tmp dir + rename), the
+    annindex contract. One streaming pass over the corpus; the heavy
+    shingle work happens exactly once.
+    """
+    import json
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        return index_dir
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    banded = ds.map_batches(
+        _MinhashSig,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, k=shingle_words,
+            num_perms=num_perms, bands=bands, seed=seed, emit_sigs=True,
+        ),
+        batch_format="pyarrow",
+        concurrency=pool_size(4),
+    ).materialize()  # shingle once; the two writes below are pruned reads
+    banded.select_columns(["band", "id"]).write_parquet(
+        os.path.join(tmp, "bands"))
+    import pyarrow.compute as pc
+
+    banded.map_batches(
+        lambda t: t.filter(pc.is_valid(t["sig"])).select(["id", "sig"]),
+        batch_format="pyarrow",
+    ).write_parquet(os.path.join(tmp, "sigs"))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"shingle_words": shingle_words, "num_perms": num_perms,
+                   "bands": bands, "seed": seed, "id_col": id_col,
+                   "text_col": text_col}, f)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return index_dir
+
+
+def probe_dedup_index(new_ds, index_dir: str, id_col: str, text_col: str, *,
+                      threshold: float = 0.8):
+    """Near-dup check of a NEW shard against a :func:`build_dedup_index`
+    corpus index: returns Dataset(new_id, corpus_id, est_jaccard) for
+    every (shard doc, corpus doc) pair sharing an LSH band whose
+    signature-agreement estimate ≥ ``threshold``. ``est_jaccard`` is the
+    fraction of agreeing MinHash components — unbiased for true Jaccard,
+    σ ≈ √(J(1−J)/num_perms) (~0.05 at the 64-perm default; exact dups
+    estimate exactly 1.0). The standard index trade: verification never
+    touches corpus text, so the probe reads only (band, id) and (id, sig)
+    rows.
+
+    Scale shape: shard band rows join the stored band table on the band
+    key (hash_join's auto broadcast/shuffle tiers — a shard-sized side
+    broadcasts), candidate pairs pull both sigs with the same join
+    machinery, and the estimate is one vectorized compare per pair. No
+    driver-side collection anywhere.
+    """
+    import json
+    import os
+
+    import ray.data as rd
+
+    from ..state.groupby import distinct_rows
+    from ..state.joins import hash_join
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+
+    probe = new_ds.map_batches(
+        _MinhashSig,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, k=meta["shingle_words"],
+            num_perms=meta["num_perms"], bands=meta["bands"],
+            seed=meta["seed"], emit_sigs=True,
+        ),
+        batch_format="pyarrow",
+        concurrency=pool_size(4),
+    ).materialize()  # reused for bands AND sigs — shingle the shard once
+
+    new_bands = probe.select_columns(["band", "id"]).map_batches(
+        lambda df: df.rename(columns={"id": "new_id"}), batch_format="pandas")
+    import pyarrow.compute as pc
+
+    new_sigs = probe.map_batches(
+        lambda t: t.filter(pc.is_valid(t["sig"])).select(["id", "sig"])
+        .rename_columns(["new_id", "new_sig"]),
+        batch_format="pyarrow")
+
+    stored_bands = rd.read_parquet(
+        os.path.join(index_dir, "bands"), columns=["band", "id"]
+    ).map_batches(lambda df: df.rename(columns={"id": "corpus_id"}),
+                  batch_format="pandas")
+    pairs = distinct_rows(
+        hash_join(stored_bands, new_bands, on="band").select_columns(
+            ["new_id", "corpus_id"]),
+        ["new_id", "corpus_id"],
+    )
+
+    stored_sigs = rd.read_parquet(
+        os.path.join(index_dir, "sigs"), columns=["id", "sig"]
+    ).map_batches(
+        lambda df: df.rename(columns={"id": "corpus_id", "sig": "corpus_sig"}),
+        batch_format="pandas")
+    with_sigs = hash_join(
+        hash_join(pairs, new_sigs, on="new_id"), stored_sigs, on="corpus_id")
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"new_id": df.get("new_id", pd.Series(dtype="object")),
+                                 "corpus_id": pd.Series(dtype="object"),
+                                 "est_jaccard": pd.Series(dtype="float64")})
+        a = np.frombuffer(b"".join(df["new_sig"]), dtype=np.uint64).reshape(
+            len(df), meta["num_perms"])
+        b = np.frombuffer(b"".join(df["corpus_sig"]), dtype=np.uint64).reshape(
+            len(df), meta["num_perms"])
+        est = (a == b).mean(axis=1)
+        out = pd.DataFrame({"new_id": df["new_id"],
+                            "corpus_id": df["corpus_id"],
+                            "est_jaccard": np.round(est, 6)})
+        return out[out["est_jaccard"] >= threshold]
+
+    return with_sigs.map_batches(estimate, batch_format="pandas")
