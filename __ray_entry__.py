@@ -660,6 +660,21 @@ def _decontam_by_source(sf_dir: str):
                                n=3)
 
 
+def _dup_gram_stats(sf_dir: str):
+    """Lee-et-al-style duplicate-substring stats
+    (stages/substring.dup_gram_stats): per source, how many docs share a
+    4-word gram with another document and the mean duplicated-gram
+    fraction — the corpus-self-overlap signal substring dedup thresholds
+    on. No broadcast tier by design (the corpus is compared with itself,
+    there is no small side): one gram-hash exchange + one doc-id
+    exchange, 8-byte hashes only."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.substring import dup_gram_stats
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    return dup_gram_stats(ds, "doc_id", "text", "source", n=4)
+
+
 def _doc_shard_shuffle(sf_dir: str):
     """Deterministic global shuffle into training shards
     (stages/sampling.shard_shuffle): every doc gets a (shard, pos) slot in
@@ -1109,6 +1124,7 @@ _PRIORITY_QUERIES = [
     "packed_doc_spans",
     "semantic_dedup_keep",
     "decontam_by_source",
+    "dup_gram_stats",
     "doc_shard_shuffle",
     "lang_mix_weights",
     "shard_dedup_probe",
@@ -1164,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kmeans_embeddings": _kmeans_embeddings,
             "repetition_by_source": _repetition_by_source,
             "decontam_by_source": _decontam_by_source,
+            "dup_gram_stats": _dup_gram_stats,
             "doc_shard_shuffle": _doc_shard_shuffle,
             "lang_mix_weights": _lang_mix_weights,
             "shard_dedup_probe": _shard_dedup_probe,
@@ -1251,6 +1268,10 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT * FROM documents WHERE doc_id % 97 = 0)",
         "doc_id", "text", "source", n=3,
     )
+    from docprocai_service_ray.stages.substring import dup_gram_sql
+
+    sql["dup_gram_stats"] = dup_gram_sql("documents", "doc_id", "text",
+                                         "source", n=4)
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,
