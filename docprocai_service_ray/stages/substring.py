@@ -43,25 +43,93 @@ from .decontam import _gram_hashes
 
 def dup_gram_stats(docs_ds, id_col: str, text_col: str, group_col: str, *,
                    n: int = 5, min_docs: int = 2, num_partitions: int = 8,
-                   round_to: int = 6):
+                   round_to: int = 6, hot_gram_ceiling: int | None = None):
     """Per-``group_col`` duplicate-gram stats of ``docs_ds`` against
     itself: ``n_docs``, ``dup_docs``, ``avg_dup_frac`` (see module doc).
     ``min_docs`` is the distinct-document threshold for a gram to count
-    as duplicated (Lee-et-al substring dedup uses 2)."""
-    from ..state.groupby import partition_reduce
+    as duplicated (Lee-et-al substring dedup uses 2).
+
+    ``hot_gram_ceiling`` (corpus-scale skew defuse): when set, a
+    pre-aggregated (gram-hash, count) partial exchange — one row per
+    gram per BATCH, so a universal boilerplate gram costs
+    n_docs/batch_size rows, never n_docs — first finds grams in ≥
+    ceiling docs. There are at most total_grams/ceiling of those, a
+    broadcastable list; they are (by min_docs ≤ ceiling) certainly
+    duplicated, so their per-doc hits are counted batch-locally via
+    ``np.isin`` and only the remaining grams — fan-in < ceiling by
+    construction — go through the per-doc flag exchange. Output is
+    IDENTICAL to the unceilinged path (parity-tested); cost is one
+    extra streaming pass for the count phase."""
+    import ray
+
+    from ..state.groupby import collect_pandas, partition_reduce
+
+    hot_ref = None
+    if hot_gram_ceiling is not None:
+        if min_docs > hot_gram_ceiling:
+            raise ValueError(
+                f"hot_gram_ceiling ({hot_gram_ceiling}) must be >= "
+                f"min_docs ({min_docs}) so hot grams are certainly "
+                f"duplicated")
+        if min_docs < 2:
+            raise ValueError("hot_gram_ceiling requires min_docs >= 2 "
+                             "(the per-doc sentinel rows have count 1)")
+
+        def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+            hs = _gram_hashes(df[text_col], n)
+            flat = (np.concatenate(hs) if hs
+                    else np.empty(0, dtype="uint64"))
+            u, c = np.unique(flat, return_counts=True)
+            return pd.DataFrame({"gh": u, "c": c.astype("int64")})
+
+        def reduce_hot(part: pd.DataFrame) -> pd.DataFrame:
+            g = part.groupby("gh", as_index=False).agg(c=("c", "sum"))
+            return g.loc[g["c"] >= hot_gram_ceiling, ["gh"]]
+
+        hot = partition_reduce(
+            docs_ds.map_batches(count_partials, batch_format="pandas"),
+            ["gh"], reduce_hot, num_partitions=num_partitions)
+        hot_arr = np.sort(
+            collect_pandas(hot, ["gh"])["gh"].to_numpy(dtype="uint64"))
+        hot_ref = ray.put(hot_arr)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         hs = _gram_hashes(df[text_col], n)
         ids = df[id_col].to_numpy()
         grp = df[group_col].to_numpy()
         reps = np.array([len(h) for h in hs], dtype="int64")
-        return pd.DataFrame({
-            "gh": (np.concatenate(hs) if hs
-                   else np.empty(0, dtype="uint64")),
+        flat = (np.concatenate(hs) if hs else np.empty(0, dtype="uint64"))
+        out = pd.DataFrame({
+            "gh": flat,
             "doc": np.repeat(ids, reps),
             "grp": np.repeat(grp, reps),
             "ng": np.repeat(reps, reps),  # per-doc distinct-gram total
+            "nc0": np.zeros(len(flat), dtype="int64"),  # pre-counted hits
         })
+        if hot_ref is None:
+            return out
+        # ceiling mode: count hot hits batch-locally and route them as
+        # one per-doc row keyed by a doc-unique sentinel hash (spreads
+        # uniformly over partitions instead of co-locating); only
+        # sub-ceiling grams ride the gram-keyed exchange
+        hot_set = ray.get(hot_ref)
+        is_hot = np.isin(flat, hot_set, assume_unique=False)
+        cold = out.loc[~is_hot]
+        has_g = reps > 0
+        csum = np.r_[0, np.cumsum(is_hot.astype("int64"))]
+        starts = np.cumsum(np.r_[0, reps])[:-1] if len(reps) else \
+            np.empty(0, dtype="int64")
+        hot_per_doc = csum[starts + reps] - csum[starts]
+        doc_rows = pd.DataFrame({
+            "gh": pd.util.hash_pandas_object(
+                pd.Series(ids[has_g]).astype(str) + "\x1fdocrow",
+                index=False).to_numpy(),
+            "doc": ids[has_g],
+            "grp": grp[has_g],
+            "ng": reps[has_g],
+            "nc0": hot_per_doc[has_g],
+        })
+        return pd.concat([cold, doc_rows], ignore_index=True)
 
     exploded = docs_ds.map_batches(explode, batch_format="pandas")
 
@@ -74,7 +142,9 @@ def dup_gram_stats(docs_ds, id_col: str, text_col: str, group_col: str, *,
                 "nc": pd.Series(dtype="int64"),
             })
         # rows are distinct (gh, doc) pairs, so per-gh row count IS the
-        # distinct-doc count; every row of a gh lands in this partition
+        # distinct-doc count; every row of a gh lands in this partition.
+        # (doc-sentinel rows from ceiling mode are per-doc unique, so
+        # their count is 1 < min_docs and only their nc0 carries through)
         gh = part["gh"].to_numpy(dtype="uint64")
         order = np.argsort(gh, kind="stable")
         sg = gh[order]
@@ -84,7 +154,8 @@ def dup_gram_stats(docs_ds, id_col: str, text_col: str, group_col: str, *,
         hit = np.empty(len(gh), dtype="int64")
         hit[order] = hit_sorted.astype("int64")
         g = pd.DataFrame({"doc": part["doc"], "grp": part["grp"],
-                          "ng": part["ng"], "hit": hit})
+                          "ng": part["ng"],
+                          "hit": hit + part["nc0"].to_numpy()})
         return g.groupby("doc", as_index=False).agg(
             grp=("grp", "first"), ng=("ng", "first"), nc=("hit", "sum"))
 

@@ -120,6 +120,51 @@ def test_shared_sentence_detected():
     assert row["avg_dup_frac"] == round((1 / 3 + 1 / 3 + 0) / 3, 6)
 
 
+def test_hot_gram_ceiling_parity():
+    # ceiling=3 on the word-soup corpus makes MOST duplicated grams hot
+    # (routed via the batch-local sentinel path) — output must be
+    # byte-identical to the unceilinged exchange and to brute force
+    docs = _docs()
+    plain = _run(docs, 2)
+    ceiled = (collect_pandas(
+        dup_gram_stats(rd.from_pandas(docs).repartition(5),
+                       "doc_id", "text", "source", n=2,
+                       num_partitions=4, hot_gram_ceiling=3),
+        COLS).sort_values("source").reset_index(drop=True))
+    pd.testing.assert_frame_equal(ceiled, plain)
+    pd.testing.assert_frame_equal(ceiled, _brute(docs, 2), check_dtype=False)
+
+
+def test_hot_gram_ceiling_universal_gram():
+    # a boilerplate prefix shared by EVERY doc — the case the ceiling
+    # exists for; with ceiling=2 every shared gram is hot, so the gram
+    # exchange carries only singletons
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype="int64"),
+        "text": [f"copyright acme corp page {i} unique{i} tail{i}"
+                 for i in range(40)],
+        "source": [f"s{i % 2}" for i in range(40)],
+    })
+    for ceiling in (2, 10, None):
+        got = (collect_pandas(
+            dup_gram_stats(rd.from_pandas(docs).repartition(6),
+                           "doc_id", "text", "source", n=3,
+                           num_partitions=4, hot_gram_ceiling=ceiling),
+            COLS).sort_values("source").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, _brute(docs, 3),
+                                      check_dtype=False)
+
+
+def test_hot_gram_ceiling_guards():
+    ds = rd.from_pandas(_docs(n=60))
+    with pytest.raises(ValueError, match="must be >="):
+        dup_gram_stats(ds, "doc_id", "text", "source", n=2,
+                       min_docs=5, hot_gram_ceiling=3)
+    with pytest.raises(ValueError, match="min_docs >= 2"):
+        dup_gram_stats(ds, "doc_id", "text", "source", n=2,
+                       min_docs=1, hot_gram_ceiling=3)
+
+
 def test_parallelism_invariance():
     docs = _docs(n=80, seed=3)
     a = collect_pandas(
