@@ -675,6 +675,50 @@ def _dup_gram_stats(sf_dir: str):
     return dup_gram_stats(ds, "doc_id", "text", "source", n=4)
 
 
+def _pii_stats_by_source(sf_dir: str):
+    """Dolma-style PII pass (stages/pii.pii_stats): per source, docs
+    with ≥1 email/IPv4/phone hit and per-class totals. The synthetic
+    corpus has no PII, so deterministic PII is PLANTED identically on
+    both sides (doc_id%5 → email, %7 → IPv4, %11 → phone) — the parity
+    under test is the regex-count semantics (Python re vs DuckDB RE2 on
+    the shared RE2-safe pattern subset), not the planting."""
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.pii import pii_stats
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"]
+        t = df["text"].fillna("")
+        t = t.where(i % 5 != 0,
+                    t + " contact user" + i.astype(str) + "@example.com")
+        t = t.where(i % 7 != 0,
+                    t + " server 10.0." + (i % 256).astype(str) + ".1")
+        t = t.where(i % 11 != 0,
+                    t + " call +1 555 01" +
+                    (i % 10).astype(str).str.zfill(2) + " 0199")
+        return pd.DataFrame({"text": t, "source": df["source"]})
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+    return pii_stats(planted, "text", "source")
+
+
+_PII_PLANTED_SQL = """(
+    SELECT source,
+           coalesce(text, '')
+           || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id
+                   || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' server 10.0.'
+                   || (doc_id % 256) || '.1' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call +1 555 01'
+                   || lpad(CAST(doc_id % 10 AS VARCHAR), 2, '0')
+                   || ' 0199' ELSE '' END AS text
+    FROM documents
+)"""
+
+
 def _doc_shard_shuffle(sf_dir: str):
     """Deterministic global shuffle into training shards
     (stages/sampling.shard_shuffle): every doc gets a (shard, pos) slot in
@@ -1125,6 +1169,7 @@ _PRIORITY_QUERIES = [
     "semantic_dedup_keep",
     "decontam_by_source",
     "dup_gram_stats",
+    "pii_stats_by_source",
     "doc_shard_shuffle",
     "lang_mix_weights",
     "shard_dedup_probe",
@@ -1181,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "repetition_by_source": _repetition_by_source,
             "decontam_by_source": _decontam_by_source,
             "dup_gram_stats": _dup_gram_stats,
+            "pii_stats_by_source": _pii_stats_by_source,
             "doc_shard_shuffle": _doc_shard_shuffle,
             "lang_mix_weights": _lang_mix_weights,
             "shard_dedup_probe": _shard_dedup_probe,
@@ -1272,6 +1318,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dup_gram_stats"] = dup_gram_sql("documents", "doc_id", "text",
                                          "source", n=4)
+    from docprocai_service_ray.stages.pii import pii_stats_sql
+
+    sql["pii_stats_by_source"] = pii_stats_sql(
+        _PII_PLANTED_SQL, "text", "source")
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,
