@@ -70,6 +70,9 @@ QUERY_NAMES = [
     "doc_shard_shuffle",
     "lang_mix_weights",
     "shard_dedup_probe",
+    # late-r4 additions: substring-dedup signal + PII release gate
+    "dup_gram_stats",
+    "pii_stats_by_source",
 ]
 
 
