@@ -57,6 +57,48 @@ def read_binary(paths, include_paths: bool = True, **kwargs):
     return rd.read_binary_files(paths, include_paths=include_paths, **kwargs)
 
 
+DOCS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+    ("source", pa.string()),
+])
+
+
+def read_docs_jsonl(paths, *, id_col: str = "id", text_col: str = "text",
+                    lang_col: str = "lang", source_col: str = "source",
+                    coalesce: bool = True):
+    """Dolma/C4-style JSONL document corpora (one JSON object per line:
+    ``{"id": ..., "text": ..., "lang": ..., "source": ...}``), normalized
+    to the engine's documents schema so every documents-table operator
+    (dedup, textstats, curation, decontam, PII, sampling...) runs off
+    JSONL unchanged. Field names are remappable for corpora that use
+    different keys; extra fields are dropped at the read (the JSONL
+    analog of column pruning — they never leave the read task).
+
+    JSON is a row-oriented text format: the parse cost is inherent to
+    the container, so prefer Parquet for anything re-read more than
+    once (this adapter exists for the ingest hop, not the hot loop)."""
+    kwargs = {}
+    if coalesce:
+        kwargs["override_num_blocks"] = _target_blocks()
+    ds = rd.read_json(paths, **kwargs)
+
+    mapping = {id_col: "doc_id", text_col: "text", lang_col: "lang",
+               source_col: "source"}
+
+    def norm(t: pa.Table) -> pa.Table:
+        cols = {}
+        for src, dst in mapping.items():
+            if src not in t.column_names:
+                raise ValueError(
+                    f"JSONL missing field {src!r} (have {t.column_names})")
+            cols[dst] = t[src].cast(DOCS_SCHEMA.field(dst).type)
+        return pa.table(cols, schema=DOCS_SCHEMA)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def validate_schema(ds, expected: pa.Schema, *, strict_types: bool = True):
     """Assert a Dataset's schema matches (names always; types unless
     ``strict_types=False``). Returns ds unchanged — put it right after the

@@ -10,8 +10,10 @@ import pytest
 import ray.data as rd
 
 from docprocai_service_ray.sources.readers import (
+    DOCS_SCHEMA,
     read_binary,
     read_csv,
+    read_docs_jsonl,
     read_json,
     read_parquet,
     validate_schema,
@@ -50,6 +52,45 @@ class TestReaders:
         rows = read_binary(str(binf)).take_all()
         assert rows[0]["bytes"] == b"\x00\x01payload"
         assert rows[0]["path"].endswith("blob.bin")
+
+    def test_docs_jsonl_equivalent_to_parquet(self, tmp_path):
+        """The same documents via JSONL and Parquet must drive a
+        documents-table operator to IDENTICAL output."""
+        import json
+
+        from docprocai_service_ray.stages.textstats import lang_mix_weights
+
+        df = (read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+              .to_pandas())
+        for shard in range(3):  # dolma-style: {"id","text","lang","source"}
+            part = df[df["doc_id"] % 3 == shard]
+            with open(tmp_path / f"docs-{shard}.jsonl", "w") as f:
+                for r in part.itertuples():
+                    f.write(json.dumps({"id": int(r.doc_id), "text": r.text,
+                                        "lang": r.lang,
+                                        "source": r.source}) + "\n")
+
+        ds = read_docs_jsonl(str(tmp_path))
+        validate_schema(ds, DOCS_SCHEMA)
+        got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        exp = df.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp[got.columns])
+
+        def stats(d):
+            r = lang_mix_weights(d, "lang", "text")
+            if hasattr(r, "to_pandas"):
+                r = r.to_pandas()
+            return r.sort_values("lang").reset_index(drop=True)
+
+        pq_ds = read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text", "lang", "source"])
+        pd.testing.assert_frame_equal(stats(ds), stats(pq_ds))
+
+    def test_docs_jsonl_missing_field(self, tmp_path):
+        (tmp_path / "bad.jsonl").write_text('{"id": 1, "text": "x"}\n')
+        with pytest.raises(Exception, match="missing field"):
+            read_docs_jsonl(str(tmp_path)).materialize()
 
     def test_validate_schema(self):
         ds = read_parquet(f"{SF}/region.parquet")
