@@ -675,6 +675,40 @@ def _dup_gram_stats(sf_dir: str):
     return dup_gram_stats(ds, "doc_id", "text", "source", n=4)
 
 
+def _unigram_bits_by_source(sf_dir: str):
+    """Corpus-self unigram cross-entropy per source
+    (stages/textstats.unigram_logprob_stats) — the model-free analog of
+    CCNet perplexity filtering: unigram LM from the corpus's own token
+    counts, mean -log2 p per doc, averaged per source. Token-keyed then
+    doc-keyed count exchanges; the corpus total enters as one final
+    scalar shift (log2 T)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.textstats import unigram_logprob_stats
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    return unigram_logprob_stats(ds, "doc_id", "text", "source")
+
+
+def _embedding_outlier_stats(sf_dir: str):
+    """Embedding-space outlier diagnostics per label
+    (stages/similarity.centroid_distance_stats): distance of every vector
+    to its own label centroid → (n_vecs, avg_dist, max_dist). Centroids
+    from vector-sum partials, broadcast once via ray.put; pass 2 is one
+    vectorized distance kernel per batch — raw vectors never shuffle."""
+    import pyarrow.parquet as pq
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.similarity import centroid_distance_stats
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pf = pq.ParquetFile(path)
+    d = getattr(pf.schema_arrow.field("embedding").type, "list_size", None)
+    if not d:  # variable-length list: probe one row group, not the file
+        d = len(pf.read_row_group(0, columns=["embedding"])["embedding"][0])
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    return centroid_distance_stats(ds, "label", "embedding", d)
+
+
 def _pii_stats_by_source(sf_dir: str):
     """Dolma-style PII pass (stages/pii.pii_stats): per source, docs
     with ≥1 email/IPv4/phone hit and per-class totals. The synthetic
@@ -1173,6 +1207,8 @@ _PRIORITY_QUERIES = [
     "doc_shard_shuffle",
     "lang_mix_weights",
     "shard_dedup_probe",
+    "unigram_bits_by_source",
+    "embedding_outlier_stats",
 ]
 
 
@@ -1227,6 +1263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "decontam_by_source": _decontam_by_source,
             "dup_gram_stats": _dup_gram_stats,
             "pii_stats_by_source": _pii_stats_by_source,
+            "unigram_bits_by_source": _unigram_bits_by_source,
+            "embedding_outlier_stats": _embedding_outlier_stats,
             "doc_shard_shuffle": _doc_shard_shuffle,
             "lang_mix_weights": _lang_mix_weights,
             "shard_dedup_probe": _shard_dedup_probe,
@@ -1322,6 +1360,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["pii_stats_by_source"] = pii_stats_sql(
         _PII_PLANTED_SQL, "text", "source")
+    from docprocai_service_ray.stages.textstats import unigram_logprob_sql
+
+    sql["unigram_bits_by_source"] = unigram_logprob_sql(
+        "documents", "doc_id", "text", "source")
+    from docprocai_service_ray.stages.similarity import centroid_distance_sql
+
+    sql["embedding_outlier_stats"] = centroid_distance_sql(
+        "embeddings", "label", "embedding")
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,

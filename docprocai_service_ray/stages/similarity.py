@@ -321,6 +321,102 @@ def label_centroids(ds, label_col: str, vec_col: str, dim: int, *,
     )
 
 
+def centroid_distance_stats(ds, label_col: str, vec_col: str, dim: int, *,
+                            num_partitions: int = 8, round_to: int = 6,
+                            max_labels: int = 100_000):
+    """Per-label embedding outlier diagnostics: distance of every vector
+    to its own label's centroid, reduced to (label, n_vecs, avg_dist,
+    max_dist) — the embedding-space quality gate a curation pipeline runs
+    to spot mislabeled / off-distribution documents before training
+    (nearest-class-mean outlier scoring; the distance-to-prototype half
+    of SemDeDup-style embedding filtering).
+
+    Shape: centroids come from :func:`label_centroids` (vector-sum
+    partials, rounded to ``round_to`` so both engine and SQL twin measure
+    from IDENTICAL prototype coordinates), collected driver-side (O(labels
+    × dim) — size-guarded) and broadcast once via ``ray.put``; pass 2 is
+    one vectorized distance matmul per batch emitting per-(label, batch)
+    partials (n, Σ dist, max dist); a label-keyed exchange merges them.
+    Raw vectors never shuffle.
+    """
+    from ..state.groupby import collect_pandas, partition_reduce
+
+    cent_long = label_centroids(ds, label_col, vec_col, dim,
+                                num_partitions=num_partitions,
+                                round_to=round_to)
+    cdf = collect_pandas(cent_long, [label_col, "dim", "avg_v"])
+    n_labels = cdf[label_col].nunique()
+    if n_labels > max_labels:
+        raise ValueError(
+            f"centroid_distance_stats: {n_labels} labels exceeds "
+            f"max_labels={max_labels}; the centroid table no longer fits "
+            "the driver — raise the bound or bucket labels first")
+    cdf = cdf.sort_values([label_col, "dim"])
+    labels = cdf[label_col].drop_duplicates().to_numpy()
+    cmat = cdf["avg_v"].to_numpy(dtype="float64").reshape(len(labels), dim)
+    index = {lab: i for i, lab in enumerate(labels)}
+    cent_ref = ray.put((index, cmat))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({label_col: pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "m": pd.Series(dtype="float64")})
+        idx, cm = ray.get(cent_ref)
+        vecs = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
+        # vectorized label → centroid-row codes (no per-row dict lookups)
+        rows = pd.Categorical(df[label_col], categories=list(idx)).codes
+        dist = np.sqrt(((vecs - cm[rows]) ** 2).sum(axis=1))
+        g = pd.DataFrame({label_col: df[label_col], "d": dist})
+        return (g.groupby(label_col, as_index=False)
+                .agg(n=("d", "size"), s=("d", "sum"), m=("d", "max")))
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(label_col, as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), m=("m", "max"))
+        return pd.DataFrame({
+            label_col: g[label_col],
+            "n_vecs": g["n"].astype("int64"),
+            "avg_dist": np.round(g["s"] / g["n"], round_to),
+            "max_dist": np.round(g["m"], round_to),
+        })
+
+    return partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"), [label_col], final,
+        num_partitions=4)
+
+
+def centroid_distance_sql(table: str, label_col: str, vec_col: str,
+                          round_to: int = 6) -> str:
+    """DuckDB twin of :func:`centroid_distance_stats`: same rounded
+    centroid (ROUND(AVG(x), round_to) per (label, dim) — the rounding is
+    part of the operator contract, making both sides measure from the
+    same prototype), same euclidean distance, same final rounding."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id, {label_col}, u.i AS i,
+                   CAST({vec_col}[u.i] AS DOUBLE) AS x
+            FROM {table},
+                 UNNEST(generate_series(1, len({vec_col}))) AS u(i)
+        ),
+        cent AS (
+            SELECT {label_col}, i, ROUND(AVG(x), {round_to}) AS c
+            FROM e GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT e.vec_id, e.{label_col},
+                   SQRT(SUM((e.x - cent.c) * (e.x - cent.c))) AS dist
+            FROM e JOIN cent USING ({label_col}, i)
+            GROUP BY 1, 2
+        )
+        SELECT {label_col}, COUNT(*) AS n_vecs,
+               ROUND(AVG(dist), {round_to}) AS avg_dist,
+               ROUND(MAX(dist), {round_to}) AS max_dist
+        FROM d GROUP BY 1
+    """
+
+
 _KMEANS_SCALE = float(1 << 32)  # fixed-point quantum for deterministic sums
 
 

@@ -468,6 +468,123 @@ def repetition_sql(table: str, id_col: str, text_col: str, group_col: str,
     """
 
 
+def unigram_logprob_stats(ds, id_col: str, text_col: str, group_col: str, *,
+                          num_partitions: int = 16, round_to: int = 6):
+    """Corpus-self unigram cross-entropy per group — the model-free analog
+    of CCNet-style perplexity filtering (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    train a unigram LM on the corpus itself, score every document by its
+    mean negative log2 token probability, and report per-``group_col``
+    averages. Low-entropy groups are templated/repetitive; high-entropy
+    groups are vocabulary-rich or noisy — the cheap corpus-health signal a
+    pretraining mix inspects before spending on real-LM perplexity.
+
+    Because the model is the corpus's own token counts, every token is
+    in-vocabulary (no OOV smoothing), and log p(w) = log2 c(w) - log2 T
+    means the corpus total T enters only as a final scalar shift:
+
+    Shape (all exchanges carry counts/floats, never text beyond tokens):
+      1. map-only explode to per-doc token counts (id, group, w, c);
+      2. token-keyed ``partition_reduce``: all rows of token w co-locate,
+         so the global c(w) is a per-partition transform('sum'); emits
+         per-(doc, partition) partials (id, group, Σ c·log2 c(w), Σ c);
+      3. doc-keyed reduce: per-doc mean, re-partialed per group;
+      4. group-keyed reduce + driver final on the #groups-row result,
+         where T = Σ tokens shifts the mean by log2 T.
+
+    Docs with zero ``[a-z]+`` tokens are excluded (the SQL twin's inner
+    join). Tokenization matches token_doc_frequency's oracle contract:
+    ``[a-z]+`` over ``lower()``. Returns pandas (group, n_docs, n_tokens,
+    avg_bits_per_token).
+    """
+    import numpy as np
+
+    from ..state.groupby import collect_pandas, partition_reduce
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.lower().str.findall(r"[a-z]+")
+        e = (df[[id_col, group_col]].assign(w=toks).explode("w")
+             .dropna(subset=["w"]))
+        return e.groupby([id_col, group_col, "w"], as_index=False).agg(
+            c=("w", "size"))
+
+    def per_token(part: pd.DataFrame) -> pd.DataFrame:
+        # token partition ⇒ transform('sum') IS the global count c(w)
+        cw = part.groupby("w")["c"].transform("sum").to_numpy(dtype="float64")
+        c = part["c"].to_numpy(dtype="float64")
+        contrib = part[[id_col, group_col]].assign(
+            wlog=c * np.log2(cw), n=part["c"])
+        return contrib.groupby([id_col, group_col], as_index=False).agg(
+            wlog=("wlog", "sum"), n=("n", "sum"))
+
+    def per_doc(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.groupby([id_col, group_col], as_index=False).agg(
+            wlog=("wlog", "sum"), n=("n", "sum"))
+        d["ratio"] = d["wlog"] / d["n"]
+        return d.groupby(group_col, as_index=False).agg(
+            n_docs=("ratio", "size"), ratio_sum=("ratio", "sum"),
+            n_tokens=("n", "sum"))
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(group_col, as_index=False).agg(
+            n_docs=("n_docs", "sum"), ratio_sum=("ratio_sum", "sum"),
+            n_tokens=("n_tokens", "sum"))
+
+    token_partials = partition_reduce(
+        ds.map_batches(explode, batch_format="pandas"), ["w"], per_token,
+        num_partitions=num_partitions)
+    group_partials = partition_reduce(
+        token_partials, [id_col], per_doc, num_partitions=num_partitions)
+    grouped = partition_reduce(group_partials, [group_col], merge,
+                               num_partitions=4)
+    df = collect_pandas(grouped, [group_col, "n_docs", "ratio_sum",
+                                  "n_tokens"])
+    df = (df.groupby(group_col, as_index=False)
+          .agg(n_docs=("n_docs", "sum"), ratio_sum=("ratio_sum", "sum"),
+               n_tokens=("n_tokens", "sum"))
+          .sort_values(group_col).reset_index(drop=True))
+    t = float(df["n_tokens"].sum())
+    bits = np.log2(max(t, 1.0)) - df["ratio_sum"] / df["n_docs"]
+    return pd.DataFrame({
+        group_col: df[group_col],
+        "n_docs": df["n_docs"].astype("int64"),
+        "n_tokens": df["n_tokens"].astype("int64"),
+        "avg_bits_per_token": np.round(bits, round_to),
+    })
+
+
+def unigram_logprob_sql(table: str, id_col: str, text_col: str,
+                        group_col: str, round_to: int = 6) -> str:
+    """DuckDB twin of :func:`unigram_logprob_stats` (same ``[a-z]+`` /
+    ``lower()`` tokenizer, same inner-join doc exclusion, same
+    log2-shift formulation so both sides do identical float math)."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}, {group_col}, w, COUNT(*) AS c
+            FROM (SELECT {id_col}, {group_col},
+                         unnest(regexp_extract_all(lower(coalesce(
+                             {text_col}, '')), '[a-z]+')) AS w
+                  FROM {table})
+            GROUP BY 1, 2, 3
+        ),
+        model AS (SELECT w, SUM(c) AS cw FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM toks),
+        per_doc AS (
+            SELECT t2.{id_col}, any_value(t2.{group_col}) AS {group_col},
+                   SUM(t2.c * log2(CAST(m.cw AS DOUBLE))) / SUM(t2.c)
+                       AS ratio,
+                   SUM(t2.c) AS n
+            FROM toks t2 JOIN model m USING (w)
+            GROUP BY t2.{id_col}
+        )
+        SELECT {group_col}, COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               ROUND((SELECT log2(GREATEST(t, 1.0)) FROM tot) - AVG(ratio),
+                     {round_to}) AS avg_bits_per_token
+        FROM per_doc GROUP BY 1
+    """
+
+
 def lang_mix_weights(ds, lang_col: str, text_col: str, *,
                      round_to: int = 6, num_partitions: int = 4):
     """Training-mix reweighting table: per language, its token share and
