@@ -675,6 +675,21 @@ def _dup_gram_stats(sf_dir: str):
     return dup_gram_stats(ds, "doc_id", "text", "source", n=4)
 
 
+def _token_postings(sf_dir: str):
+    """Inverted-index build (stages/postings.build_postings): per-token
+    sorted postings lists over the documents table, with the max_df
+    sorted postings lists over the documents table; max_postings
+    exercises truncation (df stays the full count). The max_df stopword
+    ceiling / hot-token defuse is parity-tested in tests/test_postings.py
+    (the synthetic vocabulary is near-uniformly universal, so an absolute
+    ceiling would be scale-fragile here)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.postings import build_postings
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return build_postings(ds, "doc_id", "text", min_df=2, max_postings=16)
+
+
 def _unigram_bits_by_source(sf_dir: str):
     """Corpus-self unigram cross-entropy per source
     (stages/textstats.unigram_logprob_stats) — the model-free analog of
@@ -1209,6 +1224,7 @@ _PRIORITY_QUERIES = [
     "shard_dedup_probe",
     "unigram_bits_by_source",
     "embedding_outlier_stats",
+    "token_postings",
 ]
 
 
@@ -1263,6 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "decontam_by_source": _decontam_by_source,
             "dup_gram_stats": _dup_gram_stats,
             "pii_stats_by_source": _pii_stats_by_source,
+            "token_postings": _token_postings,
             "unigram_bits_by_source": _unigram_bits_by_source,
             "embedding_outlier_stats": _embedding_outlier_stats,
             "doc_shard_shuffle": _doc_shard_shuffle,
@@ -1360,6 +1377,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["pii_stats_by_source"] = pii_stats_sql(
         _PII_PLANTED_SQL, "text", "source")
+    from docprocai_service_ray.stages.postings import postings_sql
+
+    sql["token_postings"] = postings_sql(
+        "documents", "doc_id", "text", min_df=2, max_postings=16)
     from docprocai_service_ray.stages.textstats import unigram_logprob_sql
 
     sql["unigram_bits_by_source"] = unigram_logprob_sql(
