@@ -675,6 +675,19 @@ def _dup_gram_stats(sf_dir: str):
     return dup_gram_stats(ds, "doc_id", "text", "source", n=4)
 
 
+def _per_source_doc_sample(sf_dir: str):
+    """Exact-k per-stratum sample (stages/sampling.sample_k_per_group):
+    min(k, |group|) docs per source by deterministic salted-md5 order —
+    the bounded review/eval sample a rate predicate cannot promise.
+    Per-batch local top-k partials; exchange carries <= k rows per
+    (group, batch)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.sampling import sample_k_per_group
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+    return sample_k_per_group(ds, "doc_id", "source", 5, seed=_CFG.seed)
+
+
 def _token_postings(sf_dir: str):
     """Inverted-index build (stages/postings.build_postings): per-token
     sorted postings lists over the documents table, with the max_df
@@ -1225,6 +1238,7 @@ _PRIORITY_QUERIES = [
     "unigram_bits_by_source",
     "embedding_outlier_stats",
     "token_postings",
+    "per_source_doc_sample",
 ]
 
 
@@ -1280,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dup_gram_stats": _dup_gram_stats,
             "pii_stats_by_source": _pii_stats_by_source,
             "token_postings": _token_postings,
+            "per_source_doc_sample": _per_source_doc_sample,
             "unigram_bits_by_source": _unigram_bits_by_source,
             "embedding_outlier_stats": _embedding_outlier_stats,
             "doc_shard_shuffle": _doc_shard_shuffle,
@@ -1381,6 +1396,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["token_postings"] = postings_sql(
         "documents", "doc_id", "text", min_df=2, max_postings=16)
+    from docprocai_service_ray.stages.sampling import sample_k_per_group_sql
+
+    sql["per_source_doc_sample"] = sample_k_per_group_sql(
+        "documents", "doc_id", "source", 5, seed=_CFG.seed)
     from docprocai_service_ray.stages.textstats import unigram_logprob_sql
 
     sql["unigram_bits_by_source"] = unigram_logprob_sql(

@@ -73,6 +73,11 @@ QUERY_NAMES = [
     # late-r4 additions: substring-dedup signal + PII release gate
     "dup_gram_stats",
     "pii_stats_by_source",
+    # r4 wave 2: corpus-entropy quality signal, embedding outlier gate,
+    # inverted-index build
+    "unigram_bits_by_source",
+    "embedding_outlier_stats",
+    "token_postings",
 ]
 
 

@@ -289,3 +289,63 @@ def shard_shuffle_sql(table: str, id_col: str, n_shards: int, *,
                         ORDER BY {h}, {id_col}) - 1 AS BIGINT) AS pos
         FROM {table}
     """
+
+
+def sample_k_per_group(ds, key_col: str, group_col: str, k: int, *,
+                       seed: int = 42, num_partitions: int = 8):
+    """EXACTLY min(k, |group|) rows per group, chosen by a deterministic
+    content-hash order — the bounded per-stratum sample (k eval docs per
+    language, k pages per host for human review) that ``stratified_sample``'s
+    rate predicate cannot promise (a rate gives per-stratum *expected*
+    counts, not exact ones).
+
+    Order key is ``md5(seed_tag || key)`` (16 hex chars; lexicographic ==
+    numeric), ties broken by the key itself — identical at any
+    parallelism and in SQL. Scale shape: each batch pre-truncates to its
+    local top-k per group, so the group-keyed exchange carries at most
+    k rows per (group, batch) — never the corpus; payload columns don't
+    ride (semi-join the result back by key, J4-style, if rows are
+    needed). Returns (group, key, rk) with rk ∈ [1, k].
+    """
+    from ..state.groupby import partition_reduce
+
+    tag = f"k{seed}\x1f"
+
+    def order_keys(keys: pd.Series) -> pd.Series:
+        return keys.map(
+            lambda v: hashlib.md5((tag + str(v)).encode("utf-8"))
+            .hexdigest()[:16])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({group_col: df[group_col], key_col: df[key_col],
+                          "h": order_keys(df[key_col])})
+        d = d.sort_values(["h", key_col], kind="stable")
+        return d.groupby(group_col, sort=False).head(k)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.sort_values(["h", key_col], kind="stable")
+        d = d.groupby(group_col, sort=False).head(k).copy()
+        d["rk"] = (d.groupby(group_col, sort=False).cumcount() + 1
+                   ).astype("int64")
+        return d[[group_col, key_col, "rk"]]
+
+    return partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"), [group_col], final,
+        num_partitions=num_partitions)
+
+
+def sample_k_per_group_sql(table: str, key_col: str, group_col: str,
+                           k: int, *, seed: int = 42) -> str:
+    """DuckDB twin of :func:`sample_k_per_group` — same salted md5 order
+    key, same tie-break, same rank window."""
+    h = (f"substr(md5('k{seed}' || chr(31) || CAST({key_col} AS VARCHAR)),"
+         f" 1, 16)")
+    return f"""
+        SELECT {group_col}, {key_col}, rk FROM (
+            SELECT {group_col}, {key_col},
+                   CAST(ROW_NUMBER() OVER (
+                            PARTITION BY {group_col}
+                            ORDER BY {h}, {key_col}) AS BIGINT) AS rk
+            FROM {table})
+        WHERE rk <= {k}
+    """

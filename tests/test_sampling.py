@@ -206,3 +206,69 @@ class TestWeightedSample:
         df = pd.DataFrame({"id": [1, 2, 3], "w": [0.0, -1.0, 5.0]})
         got = weighted_sample(rd.from_pandas(df), "id", "w", 10).to_pandas()
         assert got["id"].tolist() == [3]
+
+
+class TestSampleKPerGroup:
+    def _df(self, n=100, seed=2):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "id": np.arange(n, dtype="int64"),
+            "grp": rng.choice(["a", "b", "c"], size=n),
+        })
+
+    def test_matches_sql_twin(self):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from docprocai_service_ray.stages.sampling import (
+            sample_k_per_group,
+            sample_k_per_group_sql,
+        )
+
+        df = self._df()
+        got = (sample_k_per_group(rd.from_pandas(df).repartition(7), "id",
+                                  "grp", 5).to_pandas()
+               .sort_values(["grp", "rk"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = (con.execute(sample_k_per_group_sql("t", "id", "grp", 5)).df()
+               .sort_values(["grp", "rk"]).reset_index(drop=True))
+        con.close()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert (got.groupby("grp")["id"].size() == 5).all()
+
+    def test_small_groups_keep_all_and_parallelism_invariant(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from docprocai_service_ray.stages.sampling import sample_k_per_group
+
+        df = self._df(n=8, seed=5)  # groups smaller than k
+        outs = [
+            (sample_k_per_group(rd.from_pandas(df).repartition(p), "id",
+                                "grp", 50, num_partitions=np_).to_pandas()
+             .sort_values(["grp", "rk"]).reset_index(drop=True))
+            for p, np_ in ((1, 2), (5, 16))
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        assert len(outs[0]) == 8  # min(k, |group|) keeps every row
+        assert (outs[0].groupby("grp")["rk"].max()
+                == outs[0].groupby("grp")["rk"].size()).all()
+
+    def test_seed_changes_selection(self):
+        import ray.data as rd
+
+        from docprocai_service_ray.stages.sampling import sample_k_per_group
+
+        df = self._df()
+        a = set(map(tuple, sample_k_per_group(
+            rd.from_pandas(df), "id", "grp", 5, seed=1)
+            .to_pandas()[["grp", "id"]].itertuples(index=False)))
+        b = set(map(tuple, sample_k_per_group(
+            rd.from_pandas(df), "id", "grp", 5, seed=2)
+            .to_pandas()[["grp", "id"]].itertuples(index=False)))
+        assert a != b
