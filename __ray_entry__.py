@@ -675,6 +675,18 @@ def _dup_gram_stats(sf_dir: str):
     return dup_gram_stats(ds, "doc_id", "text", "source", n=4)
 
 
+def _token_pmi(sf_dir: str):
+    """Document-level token co-occurrence PMI (stages/cooccur): the
+    association-score table behind collocation mining / relation
+    discovery. df pre-pass + pair-keyed count exchange + auto-tiered df
+    joins; N is a metadata-only count."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.cooccur import cooccurrence_pmi
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return cooccurrence_pmi(ds, "doc_id", "text", min_pair_count=2)
+
+
 def _per_source_doc_sample(sf_dir: str):
     """Exact-k per-stratum sample (stages/sampling.sample_k_per_group):
     min(k, |group|) docs per source by deterministic salted-md5 order —
@@ -1239,6 +1251,7 @@ _PRIORITY_QUERIES = [
     "embedding_outlier_stats",
     "token_postings",
     "per_source_doc_sample",
+    "token_pmi",
 ]
 
 
@@ -1295,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pii_stats_by_source": _pii_stats_by_source,
             "token_postings": _token_postings,
             "per_source_doc_sample": _per_source_doc_sample,
+            "token_pmi": _token_pmi,
             "unigram_bits_by_source": _unigram_bits_by_source,
             "embedding_outlier_stats": _embedding_outlier_stats,
             "doc_shard_shuffle": _doc_shard_shuffle,
@@ -1400,6 +1414,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["per_source_doc_sample"] = sample_k_per_group_sql(
         "documents", "doc_id", "source", 5, seed=_CFG.seed)
+    from docprocai_service_ray.stages.cooccur import cooccurrence_pmi_sql
+
+    sql["token_pmi"] = cooccurrence_pmi_sql(
+        "documents", "doc_id", "text", min_pair_count=2)
     from docprocai_service_ray.stages.textstats import unigram_logprob_sql
 
     sql["unigram_bits_by_source"] = unigram_logprob_sql(
