@@ -793,6 +793,92 @@ _PII_PLANTED_SQL = """(
 )"""
 
 
+# --------------- url hygiene (stages/urltools.py) ---------------------------
+
+# C4/CCNet-style crawl hygiene over PLANTED urls (the documents table has
+# no url column, so both sides build the same deterministic url from
+# doc_id — the parity under test is the normalization/blocklist regex
+# semantics, Python re vs DuckDB RE2, exactly like _pii_stats_by_source).
+_URL_PLANTED_SQL = """(
+    SELECT doc_id, source,
+           (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+           || '://WWW.Site' || (doc_id % 50) || '.Example'
+           || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                    WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+           || '/Path/' || doc_id
+           || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || (doc_id % 7)
+                    WHEN doc_id % 3 = 1 THEN '?id=' || (doc_id % 7) || '&gclid=abc'
+                    ELSE '#Frag' || (doc_id % 5) END) AS url
+    FROM documents
+)"""
+
+_URL_BLOCKLIST = ["site7.example", "site13.example", "www.site21.example"]
+
+
+def _plant_urls(df):
+    """Deterministic url per doc exercising every normalization step:
+    mixed-case host, default ports, leading/non-leading tracker params,
+    fragments. MUST mirror _URL_PLANTED_SQL verbatim."""
+    import numpy as np
+    import pandas as pd
+
+    i = df["doc_id"]
+    scheme = pd.Series(np.where(i % 2 == 0, "http", "https"), index=df.index)
+    port = pd.Series(
+        np.where(i % 4 == 0, ":80", np.where(i % 4 == 1, ":443", "")),
+        index=df.index)
+    tail = "#Frag" + (i % 5).astype(str)
+    tail = tail.where(i % 3 != 0, "?utm_source=x&id=" + (i % 7).astype(str))
+    tail = tail.where(i % 3 != 1, "?id=" + (i % 7).astype(str) + "&gclid=abc")
+    url = (scheme + "://WWW.Site" + (i % 50).astype(str) + ".Example" + port
+           + "/Path/" + i.astype(str) + tail)
+    out = df.copy()
+    out["url"] = url
+    return out
+
+
+def _normalized_urls(sf_dir: str):
+    """URL canonicalization (stages/urltools.normalize_urls): fragment /
+    tracker-param / default-port strip + scheme-host lowercase — the key
+    url-dedup should group on. Pure map, REAL-SQL-oracled (the DuckDB twin
+    runs the SAME rewrite chain via urltools.normalize_url_sql)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.urltools import normalize_urls
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+    planted = ds.map_batches(_plant_urls, batch_format="pandas")
+    return normalize_urls(planted, "url", out_col="url_norm").select_columns(
+        ["doc_id", "url_norm"])
+
+
+def _blocked_host_doc_counts(sf_dir: str):
+    """Host-blocklist gate (stages/urltools.host_blocklist_filter):
+    exact-or-subdomain host match drops blocked docs before any expensive
+    stage; survivors counted per source (partial pre-agg, source-keyed
+    int exchange only)."""
+    import numpy as np
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.urltools import host_blocklist_filter
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+    planted = ds.map_batches(_plant_urls, batch_format="pandas")
+    kept = host_blocklist_filter(planted, _URL_BLOCKLIST, url_col="url")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False).agg(n=("doc_id", "size"))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_docs": [np.int64(g["n"].sum())],
+        })
+
+    return (kept.map_batches(partial, batch_format="pandas")
+            .groupby("source").map_groups(final, batch_format="pandas"))
+
+
 def _doc_shard_shuffle(sf_dir: str):
     """Deterministic global shuffle into training shards
     (stages/sampling.shard_shuffle): every doc gets a (shard, pos) slot in
@@ -1252,6 +1338,8 @@ _PRIORITY_QUERIES = [
     "token_postings",
     "per_source_doc_sample",
     "token_pmi",
+    "normalized_urls",
+    "blocked_host_doc_counts",
 ]
 
 
@@ -1316,6 +1404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "shard_dedup_probe": _shard_dedup_probe,
             "packed_doc_spans": _packed_doc_spans,
             "semantic_dedup_keep": _semantic_dedup_keep,
+            "normalized_urls": _normalized_urls,
+            "blocked_host_doc_counts": _blocked_host_doc_counts,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -1426,6 +1516,16 @@ def oracle_sql() -> dict[str, str]:
 
     sql["embedding_outlier_stats"] = centroid_distance_sql(
         "embeddings", "label", "embedding")
+    from docprocai_service_ray.stages.urltools import (blocklist_predicate_sql,
+                                                       normalize_url_sql)
+
+    sql["normalized_urls"] = (
+        f"SELECT doc_id, {normalize_url_sql('url')} AS url_norm "
+        f"FROM {_URL_PLANTED_SQL}")
+    sql["blocked_host_doc_counts"] = (
+        f"SELECT source, COUNT(*) AS n_docs FROM {_URL_PLANTED_SQL} "
+        f"WHERE {blocklist_predicate_sql('url', _URL_BLOCKLIST, blocked=False)} "
+        "GROUP BY source")
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,
