@@ -793,6 +793,42 @@ _PII_PLANTED_SQL = """(
 )"""
 
 
+# --------------- line-level corpus dedup (stages/linededup.py) --------------
+
+# the synthetic docs are single-line bags of words, so line structure is
+# PLANTED identically on both sides (every 6 words become a line — a
+# shared-vocabulary corpus, so ~5% of lines legitimately collide across
+# docs); the parity under test is the first-(id, idx)-wins rewrite.
+_LINE_PLANT_RE = r"((?:\S+ ){5}\S+) "
+_LINE_PLANTED_SQL = (
+    "(SELECT doc_id, regexp_replace(coalesce(text, ''), "
+    f"'{_LINE_PLANT_RE}', '\\1' || chr(10), 'g') AS text FROM documents)"
+)
+
+
+def _line_dedup_docs(sf_dir: str):
+    """C4/CCNet line-level corpus dedup (stages/linededup.line_dedup):
+    every duplicated line survives only at its first (doc_id, position)
+    site, docs are rebuilt from surviving lines; per-doc certificate
+    (n_lines, n_kept, md5 of the rebuilt text) is REAL-SQL-oracled."""
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.linededup import line_dedup_stats
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "text": df["text"].fillna("").str.replace(
+                _LINE_PLANT_RE, r"\1\n", regex=True),
+        })
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+    return line_dedup_stats(planted, "doc_id", "text")
+
+
 # --------------- url hygiene (stages/urltools.py) ---------------------------
 
 # C4/CCNet-style crawl hygiene over PLANTED urls (the documents table has
@@ -1340,6 +1376,7 @@ _PRIORITY_QUERIES = [
     "token_pmi",
     "normalized_urls",
     "blocked_host_doc_counts",
+    "line_dedup_docs",
 ]
 
 
@@ -1406,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "semantic_dedup_keep": _semantic_dedup_keep,
             "normalized_urls": _normalized_urls,
             "blocked_host_doc_counts": _blocked_host_doc_counts,
+            "line_dedup_docs": _line_dedup_docs,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -1526,6 +1564,9 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT source, COUNT(*) AS n_docs FROM {_URL_PLANTED_SQL} "
         f"WHERE {blocklist_predicate_sql('url', _URL_BLOCKLIST, blocked=False)} "
         "GROUP BY source")
+    from docprocai_service_ray.stages.linededup import line_dedup_sql
+
+    sql["line_dedup_docs"] = line_dedup_sql(_LINE_PLANTED_SQL, "doc_id", "text")
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,
