@@ -793,6 +793,56 @@ _PII_PLANTED_SQL = """(
 )"""
 
 
+# --------------- BPE tokenizer training (stages/bpe.py) ---------------------
+
+def _bpe_merges(sf_dir: str):
+    """BPE vocabulary learning (stages/bpe.bpe_train, Sennrich et al.
+    2016): corpus word counts (one exchange) → iterative highest-count
+    pair merges on the vocab-sized word table. Iterative and not
+    SQL-expressible — golden-frozen; both tiers bit-match a naive
+    single-process reference in tests/test_bpe.py."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.bpe import bpe_train
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_train(ds, "text", num_merges=48)
+
+
+def _bpe_token_stats(sf_dir: str):
+    """Learned-tokenizer corpus statistics (stages/bpe.bpe_apply): encode
+    every doc with the merges from _bpe_merges and report per-lang total
+    subword tokens + distinct token types — the fertility check run after
+    tokenizer training. Pure map over the corpus (merge table ships in
+    the closure, per-word memoized) + lang-keyed partial reduce."""
+    import numpy as np
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.bpe import bpe_apply, bpe_train
+    from docprocai_service_ray.state.groupby import partition_reduce
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    merges = bpe_train(ds, "text", num_merges=48)
+    enc = bpe_apply(ds, "text", merges)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["lang"]].assign(tok=df["bpe_tokens"]).explode("tok").dropna(
+            subset=["tok"])
+        g = e.groupby(["lang", "tok"], as_index=False).agg(n=("tok", "size"))
+        return g
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["lang", "tok"], as_index=False).agg(n=("n", "sum"))
+        out = g.groupby("lang", as_index=False).agg(
+            total_tokens=("n", "sum"), token_types=("tok", "nunique"))
+        return out.astype({"total_tokens": "int64", "token_types": "int64"})
+
+    # (lang, tok) partials co-locate per lang: one lang never splits, so
+    # the per-lang nunique/total in `final` is exact
+    return partition_reduce(enc.map_batches(partial, batch_format="pandas"),
+                            ["lang"], final, num_partitions=4)
+
+
 # --------------- line-level corpus dedup (stages/linededup.py) --------------
 
 # the synthetic docs are single-line bags of words, so line structure is
@@ -1328,6 +1378,11 @@ _GOLDEN_QUERIES = [
     # approximate BY DESIGN (accuracy vs exact jaccard asserted in
     # tests/test_dedup_index.py); golden pins the deterministic output
     "shard_dedup_probe",
+    # iterative merge fixpoint (tokenizer training) — not SQL-expressible;
+    # both tiers bit-match a naive single-process reference in
+    # tests/test_bpe.py, golden pins the deterministic output
+    "bpe_merges",
+    "bpe_token_stats",
 ]
 
 
@@ -1377,6 +1432,8 @@ _PRIORITY_QUERIES = [
     "normalized_urls",
     "blocked_host_doc_counts",
     "line_dedup_docs",
+    "bpe_merges",
+    "bpe_token_stats",
 ]
 
 
@@ -1444,6 +1501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "normalized_urls": _normalized_urls,
             "blocked_host_doc_counts": _blocked_host_doc_counts,
             "line_dedup_docs": _line_dedup_docs,
+            "bpe_merges": _bpe_merges,
+            "bpe_token_stats": _bpe_token_stats,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
