@@ -843,6 +843,53 @@ def _bpe_token_stats(sf_dir: str):
                             ["lang"], final, num_partitions=4)
 
 
+# --------------- registrable domains (stages/domains.py) --------------------
+
+# url hosts PLANTED with suffix variety (ML2 public suffix, www/deep
+# subdomains, bare 2-label) so every branch of the eTLD+1 rule runs —
+# the _pii_stats_by_source planting pattern
+_DOMAIN_PLANTED_SQL = """(
+    SELECT doc_id,
+           'https://' ||
+           (CASE doc_id % 4
+             WHEN 0 THEN 'a' || (doc_id % 17) || '.co.uk'
+             WHEN 1 THEN 'www.b' || (doc_id % 17) || '.com'
+             WHEN 2 THEN 'c' || (doc_id % 17) || '.org'
+             ELSE 'deep.sub.d' || (doc_id % 17) || '.net' END)
+           || '/p/' || doc_id AS url
+    FROM documents
+)"""
+
+
+def _domain_doc_counts(sf_dir: str):
+    """Docs per registrable domain (stages/domains.domain_rollup):
+    eTLD+1 extraction (PSL 2-label rule with the built-in suffix set) +
+    partial pre-agg + one domain-keyed int exchange — the grouping key
+    domain-level curation filters use. REAL-SQL-oracled (same regexes,
+    same suffix set in DuckDB)."""
+    import numpy as np
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.domains import domain_rollup
+
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"]
+        k = (i % 17).astype(str)
+        host = pd.Series(
+            np.select(
+                [i % 4 == 0, i % 4 == 1, i % 4 == 2],
+                ["a" + k + ".co.uk", "www.b" + k + ".com", "c" + k + ".org"],
+                default="deep.sub.d" + k + ".net"),
+            index=df.index)
+        return pd.DataFrame({
+            "doc_id": i, "url": "https://" + host + "/p/" + i.astype(str)})
+
+    return domain_rollup(ds.map_batches(plant, batch_format="pandas"), "url")
+
+
 # --------------- line-level corpus dedup (stages/linededup.py) --------------
 
 # the synthetic docs are single-line bags of words, so line structure is
@@ -1434,6 +1481,7 @@ _PRIORITY_QUERIES = [
     "line_dedup_docs",
     "bpe_merges",
     "bpe_token_stats",
+    "domain_doc_counts",
 ]
 
 
@@ -1503,6 +1551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "line_dedup_docs": _line_dedup_docs,
             "bpe_merges": _bpe_merges,
             "bpe_token_stats": _bpe_token_stats,
+            "domain_doc_counts": _domain_doc_counts,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -1626,6 +1675,9 @@ def oracle_sql() -> dict[str, str]:
     from docprocai_service_ray.stages.linededup import line_dedup_sql
 
     sql["line_dedup_docs"] = line_dedup_sql(_LINE_PLANTED_SQL, "doc_id", "text")
+    from docprocai_service_ray.stages.domains import domain_rollup_sql
+
+    sql["domain_doc_counts"] = domain_rollup_sql(_DOMAIN_PLANTED_SQL, "url")
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,
