@@ -843,6 +843,21 @@ def _bpe_token_stats(sf_dir: str):
                             ["lang"], final, num_partitions=4)
 
 
+# --------------- bigram LM scoring (stages/ngramlm.py) ----------------------
+
+def _bigram_bits_by_source(sf_dir: str):
+    """CCNet-style LM perplexity signal (stages/ngramlm.bigram_lm_bits):
+    per source, mean −log2 p(w_i|w_{i-1}) under the corpus's own
+    add-1-smoothed bigram model — the order-1 upgrade of
+    unigram_bits_by_source. Count-shaped exchanges only; REAL-SQL-oracled
+    (lag-window + join twin)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.ngramlm import bigram_lm_bits
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    return bigram_lm_bits(ds, "doc_id", "text", "source")
+
+
 # --------------- registrable domains (stages/domains.py) --------------------
 
 # url hosts PLANTED with suffix variety (ML2 public suffix, www/deep
@@ -1482,6 +1497,7 @@ _PRIORITY_QUERIES = [
     "bpe_merges",
     "bpe_token_stats",
     "domain_doc_counts",
+    "bigram_bits_by_source",
 ]
 
 
@@ -1552,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bpe_merges": _bpe_merges,
             "bpe_token_stats": _bpe_token_stats,
             "domain_doc_counts": _domain_doc_counts,
+            "bigram_bits_by_source": _bigram_bits_by_source,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -1678,6 +1695,10 @@ def oracle_sql() -> dict[str, str]:
     from docprocai_service_ray.stages.domains import domain_rollup_sql
 
     sql["domain_doc_counts"] = domain_rollup_sql(_DOMAIN_PLANTED_SQL, "url")
+    from docprocai_service_ray.stages.ngramlm import bigram_lm_sql
+
+    sql["bigram_bits_by_source"] = bigram_lm_sql(
+        "documents", "doc_id", "text", "source")
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,

@@ -1,0 +1,163 @@
+"""Bigram-LM perplexity scoring — the CCNet quality signal (Wenzek et
+al. 2020 score documents with an LM and filter on perplexity; the
+companion stages/textstats.unigram_logprob_stats is the order-0 version
+of the same idea). The LM here is the corpus's OWN add-k-smoothed bigram
+model:
+
+    p(w_i | w_{i-1}) = (c(w_{i-1}, w_i) + k) / (c_ctx(w_{i-1}) + k·V)
+
+with c_ctx(w) = Σ_v c(w, v) (so contexts come free from the bigram
+counts) and V = corpus vocabulary size. Per doc: mean −log2 p over its
+bigram positions (docs with < 2 tokens have no bigram and are excluded,
+exactly like the SQL twin's joins); per group: doc count + mean bits.
+
+Scale shape (three exchanges, all count-shaped — raw text never
+exchanges):
+1. bigram-count exchange partitioned by the LEFT token — per-(l, r)
+   totals AND the per-l context totals come out of the same reduce;
+2. one tiny token-keyed exchange for V (a metadata-count scalar);
+3. the scoring join: per-doc distinct (id, l, r, cnt) rows hash_join the
+   stat table on (l, r) (state/joins auto tier), then id- and
+   group-keyed float-partial reduces. The corpus tokenization runs twice
+   (stats pass + scoring pass) — the standard trade against materializing
+   an exploded token table.
+
+Reference anchor: reference scores quality via opaque model calls; this
+is the deterministic self-corpus analog, REAL-SQL-oracled end to end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_TOKEN_RE = r"[a-z]+"
+
+
+def _doc_bigrams(ds, id_col: str, text_col: str, group_col: str):
+    """Per-doc distinct bigram rows (id, group, l, r, cnt) — one doc is
+    one input row, so its bigrams never leave the batch."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
+        e = df[[id_col, group_col]].assign(r=toks).explode("r").dropna(
+            subset=["r"])
+        e["l"] = e.groupby(level=0)["r"].shift(1)
+        e = e.dropna(subset=["l"])
+        return e.groupby([id_col, group_col, "l", "r"], as_index=False).agg(
+            cnt=("r", "size"))
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _vocab_size(ds, text_col: str, num_partitions: int) -> int:
+    from ..state.groupby import partition_reduce
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
+        e = pd.DataFrame({"w": t}).explode("w").dropna()
+        return e.drop_duplicates()
+
+    def distinct(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates()
+
+    return int(partition_reduce(ds.map_batches(toks, batch_format="pandas"),
+                                ["w"], distinct,
+                                num_partitions=num_partitions).count())
+
+
+def bigram_lm_bits(ds, id_col: str, text_col: str, group_col: str, *,
+                   k: float = 1.0, num_partitions: int = 16):
+    """Per-group (n_docs, avg_bits) under the corpus's own smoothed
+    bigram LM — low bits = predictable/templated text, high bits =
+    unusual text; both tails are what CCNet-style curation inspects."""
+    from ..state.groupby import partition_reduce
+    from ..state.joins import hash_join
+
+    grams = _doc_bigrams(ds, id_col, text_col, group_col)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l", "r"], as_index=False).agg(c=("cnt", "sum"))
+
+    def pair_final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["l", "r"], as_index=False).agg(c=("c", "sum"))
+        # partitioned by l ⇒ every (l, ·) row is here: context totals are
+        # exact within the partition
+        g["cl"] = g.groupby("l")["c"].transform("sum")
+        return g.astype({"c": "int64", "cl": "int64"})
+
+    stats = partition_reduce(
+        grams.map_batches(pair_partial, batch_format="pandas"),
+        ["l"], pair_final, num_partitions=num_partitions)
+
+    vocab = _vocab_size(ds, text_col, num_partitions)
+
+    scored = hash_join(grams, stats, on=["l", "r"])
+
+    def doc_partial(df: pd.DataFrame, vocab=vocab) -> pd.DataFrame:
+        bits = -np.log2((df["c"] + k) / (df["cl"] + k * vocab))
+        return pd.DataFrame({
+            id_col: df[id_col], group_col: df[group_col],
+            "b": bits * df["cnt"], "n": df["cnt"],
+        }).groupby([id_col, group_col], as_index=False).sum()
+
+    def per_doc(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.groupby([id_col, group_col], as_index=False).agg(
+            b=("b", "sum"), n=("n", "sum"))
+        d["bits"] = d["b"] / d["n"]
+        return d.groupby(group_col, as_index=False).agg(
+            n_docs=("bits", "size"), bs=("bits", "sum"))
+
+    group_partials = partition_reduce(
+        scored.map_batches(doc_partial, batch_format="pandas"),
+        [id_col], per_doc, num_partitions=num_partitions)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(group_col, as_index=False).agg(
+            n_docs=("n_docs", "sum"), bs=("bs", "sum"))
+        return pd.DataFrame({
+            group_col: g[group_col],
+            "n_docs": g["n_docs"].astype("int64"),
+            "avg_bits": (g["bs"] / g["n_docs"]).round(4),
+        })
+
+    return partition_reduce(group_partials, [group_col], final,
+                            num_partitions=4)
+
+
+def bigram_lm_sql(table: str, id_col: str, text_col: str, group_col: str,
+                  *, k: float = 1.0) -> str:
+    """DuckDB twin of :func:`bigram_lm_bits` — same tokenizer, same
+    smoothing, same exclusion of sub-2-token docs."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}, {group_col},
+                   generate_subscripts(ts, 1) AS pos, unnest(ts) AS w
+            FROM (SELECT {id_col}, {group_col},
+                         regexp_extract_all(lower(coalesce({text_col}, '')),
+                                            '{_TOKEN_RE}') AS ts
+                  FROM {table})
+        ), bg AS (
+            SELECT * FROM (
+                SELECT {id_col}, {group_col},
+                       lag(w) OVER (PARTITION BY {id_col} ORDER BY pos) AS l,
+                       w AS r
+                FROM toks)
+            WHERE l IS NOT NULL
+        ), c2 AS (
+            SELECT l, r, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        ), cl AS (
+            SELECT l, SUM(c) AS cl FROM c2 GROUP BY 1
+        ), v AS (
+            SELECT COUNT(DISTINCT w) AS v FROM toks
+        ), per_doc AS (
+            SELECT bg.{id_col}, bg.{group_col},
+                   AVG(-log2((c2.c + {k}) / (cl.cl + {k} * v.v))) AS bits
+            FROM bg JOIN c2 USING (l, r) JOIN cl USING (l), v
+            GROUP BY 1, 2
+        )
+        SELECT {group_col}, COUNT(*) AS n_docs,
+               ROUND(AVG(bits), 4) AS avg_bits
+        FROM per_doc GROUP BY 1
+    """
