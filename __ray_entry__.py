@@ -213,6 +213,20 @@ def _near_dup_pages_simhash(sf_dir: str):
     return simhash_pairs(docs, "url", "text", max_hamming=0)
 
 
+def _near_dup_keep_best(sf_dir: str):
+    """Near-dup cluster canonicalization (stages/keepbest): transitively
+    close the verified MinHash pair graph and keep exactly one
+    highest-quality doc per cluster — the delete-list producer a dedup
+    run actually applies. Golden-frozen (LSH candidates are approximate
+    by design; the closure/selection layer is brute-force-verified in
+    tests/test_keepbest.py)."""
+    from docprocai_service_ray.stages.keepbest import near_dup_keep_best
+
+    docs = _kg_run(sf_dir)["docs"].select_columns(["url", "text"])
+    return near_dup_keep_best(docs, "url", "text", threshold=0.9,
+                              seed=_CFG.seed, cfg=_CFG)
+
+
 def _embedding_near_dup(sf_dir: str):
     from docprocai_service_ray.pipelines.benchqueries import _pq
     from docprocai_service_ray.stages.similarity import embedding_near_dup_pairs
@@ -1445,6 +1459,9 @@ _GOLDEN_QUERIES = [
     # tests/test_bpe.py, golden pins the deterministic output
     "bpe_merges",
     "bpe_token_stats",
+    # cluster closure + survivor pick over the approximate (verified)
+    # LSH pair graph — golden pins the deterministic output
+    "near_dup_keep_best",
 ]
 
 
@@ -1498,6 +1515,7 @@ _PRIORITY_QUERIES = [
     "bpe_token_stats",
     "domain_doc_counts",
     "bigram_bits_by_source",
+    "near_dup_keep_best",
 ]
 
 
@@ -1569,6 +1587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bpe_token_stats": _bpe_token_stats,
             "domain_doc_counts": _domain_doc_counts,
             "bigram_bits_by_source": _bigram_bits_by_source,
+            "near_dup_keep_best": _near_dup_keep_best,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}

@@ -1,0 +1,103 @@
+"""Near-duplicate cluster canonicalization — the step AFTER pair
+finding that an actual dedup pipeline ships: transitively close the
+near-dup pair graph into clusters and keep exactly ONE survivor per
+cluster, chosen by quality (the RefinedWeb/Gopher "keep the best copy"
+rule; doc-level exact dedup keeps the min id, this is the fuzzy-cluster
+generalization).
+
+Composition of existing scale-audited machinery, no new exchange
+shapes:
+1. pairs — stages/dedup.minhash_lsh_pairs (banded LSH, exact-jaccard
+   verified, auto-tiered);
+2. clusters — the canonicalization engine's components kernels
+   (stages/canonicalize): driver union-find under
+   ``cfg.driver_unionfind_max`` distinct edges, pointer-jumping
+   min-label propagation beyond it — duplicate-pair edge sets are a
+   vanishing fraction of corpus size, so the gate almost always holds;
+3. survivor — docs join their cluster label (state/joins auto tier,
+   INNER: docs in no cluster never leave their batch), quality scored
+   in-batch (stages/textstats.quality_score), then one cluster-keyed
+   exchange picks (quality DESC, id ASC) per cluster.
+
+Output: one row per CLUSTERED doc (id, cluster_id, quality, keep) —
+docs outside any cluster are implicit keepers and are not emitted (the
+table is dup-cluster-sized, not corpus-sized). ``keep=False`` rows are
+the delete list a curation run applies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..config import KGConfig
+from ..state.groupby import collect_pandas, distinct_rows, partition_reduce
+from ..state.joins import hash_join
+
+
+def near_dup_keep_best(ds, id_col: str, text_col: str, *,
+                       threshold: float = 0.8, shingle_words: int = 5,
+                       seed: int = 42, cfg: KGConfig | None = None,
+                       num_partitions: int = 16):
+    """(id, cluster_id, quality, keep) over every doc that belongs to a
+    near-dup cluster at ``threshold``. Ids are carried as strings inside
+    the component kernels (their contract) and joined back on the
+    original column."""
+    from .canonicalize import _components_distributed, _components_driver
+    from .dedup import minhash_lsh_pairs
+    from .textstats import quality_score
+
+    cfg = cfg or KGConfig()
+    pairs = minhash_lsh_pairs(
+        ds, id_col, text_col, threshold=threshold,
+        shingle_words=shingle_words, seed=seed).materialize()
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "src": t["id_a"].cast(pa.string()),
+            "dst": t["id_b"].cast(pa.string()),
+        }), batch_format="pyarrow")
+    surfaces = distinct_rows(
+        edges.map_batches(
+            lambda t: pa.table({"surface": pa.concat_arrays(
+                [t["src"].combine_chunks(), t["dst"].combine_chunks()])}),
+            batch_format="pyarrow"),
+        ["surface"], num_partitions=num_partitions).materialize()
+
+    if edges.count() <= cfg.driver_unionfind_max:
+        comp = _components_driver(
+            collect_pandas(edges, ["src", "dst"]),
+            collect_pandas(surfaces, ["surface"])["surface"].tolist())
+        labels = ray.data.from_arrow(pa.table({
+            "__sid": pa.array(sorted(comp), pa.string()),
+            "cluster_id": pa.array([comp[n] for n in sorted(comp)],
+                                   pa.string()),
+        }))
+    else:
+        labels = _components_distributed(edges, surfaces, cfg).map_batches(
+            lambda t: pa.table({"__sid": t["node"], "cluster_id": t["label"]}),
+            batch_format="pyarrow")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "__sid": df[id_col].astype(str),
+            "quality": quality_score(df[text_col]),
+        })
+
+    scored = hash_join(ds.map_batches(tag, batch_format="pandas"),
+                       labels, on="__sid")
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["cluster_id", "quality", "__sid"],
+                                ascending=[True, False, True], kind="stable")
+        keep = ~part["cluster_id"].duplicated()
+        return pd.DataFrame({
+            id_col: part[id_col], "cluster_id": part["cluster_id"],
+            "quality": part["quality"], "keep": keep.to_numpy(),
+        })
+
+    return partition_reduce(scored, ["cluster_id"], pick,
+                            num_partitions=num_partitions)
