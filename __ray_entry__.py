@@ -857,6 +857,38 @@ def _bpe_token_stats(sf_dir: str):
                             ["lang"], final, num_partitions=4)
 
 
+# --------------- quality classifier (stages/classifier.py) ------------------
+
+def _quality_classifier_history(sf_dir: str):
+    """GPT-3-style quality-filter training (stages/classifier): hashed
+    bag-of-words logistic regression, fixed-point int64 gradient partials
+    ⇒ bit-deterministic at any parallelism (golden-frozen). The synthetic
+    corpus carries no label signal, so marker words are PLANTED on a
+    doc_id-derived label (the established planting pattern) — the frozen
+    loss/accuracy history converging to acc 1.0 IS the certificate that
+    distributed training works."""
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.classifier import \
+        train_quality_classifier
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"]
+        y = (i % 3 == 0).astype("int64")
+        t = df["text"].fillna("")
+        t = t.where(y == 0, t + " insight careful evidence analysis")
+        t = t.where(y == 1, t + " spam click offer free")
+        return pd.DataFrame({"text": t, "y": y})
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+    _, history = train_quality_classifier(planted, "text", "y",
+                                          dim=256, iters=20, lr=2.0)
+    return history
+
+
 # --------------- bigram LM scoring (stages/ngramlm.py) ----------------------
 
 def _bigram_bits_by_source(sf_dir: str):
@@ -1462,6 +1494,10 @@ _GOLDEN_QUERIES = [
     # cluster closure + survivor pick over the approximate (verified)
     # LSH pair graph — golden pins the deterministic output
     "near_dup_keep_best",
+    # iterative GD fixpoint (fixed-point int64 gradient partials) — not
+    # SQL-expressible; separable-data convergence + bit-invariance in
+    # tests/test_classifier.py, golden pins the loss/acc history
+    "quality_classifier_history",
 ]
 
 
@@ -1516,6 +1552,7 @@ _PRIORITY_QUERIES = [
     "domain_doc_counts",
     "bigram_bits_by_source",
     "near_dup_keep_best",
+    "quality_classifier_history",
 ]
 
 
@@ -1588,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "domain_doc_counts": _domain_doc_counts,
             "bigram_bits_by_source": _bigram_bits_by_source,
             "near_dup_keep_best": _near_dup_keep_best,
+            "quality_classifier_history": _quality_classifier_history,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
