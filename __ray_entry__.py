@@ -857,6 +857,23 @@ def _bpe_token_stats(sf_dir: str):
                             ["lang"], final, num_partitions=4)
 
 
+# --------------- BM25 lexical search (stages/bm25.py) -----------------------
+
+_BM25_TERMS = ["spark", "window", "batch"]
+
+
+def _bm25_search_docs(sf_dir: str):
+    """Okapi BM25 top-10 (stages/bm25.bm25_topk) — the lexical companion
+    to kg_semantic_search and the consumer of the postings family.
+    Candidate-set-sized exchanges only; REAL-SQL-oracled (same formula,
+    same rounded-score ranking in DuckDB)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.bm25 import bm25_topk
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, "doc_id", "text", _BM25_TERMS, k=10)
+
+
 # --------------- quality classifier (stages/classifier.py) ------------------
 
 def _quality_classifier_history(sf_dir: str):
@@ -1553,6 +1570,7 @@ _PRIORITY_QUERIES = [
     "bigram_bits_by_source",
     "near_dup_keep_best",
     "quality_classifier_history",
+    "bm25_search_docs",
 ]
 
 
@@ -1626,6 +1644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bigram_bits_by_source": _bigram_bits_by_source,
             "near_dup_keep_best": _near_dup_keep_best,
             "quality_classifier_history": _quality_classifier_history,
+            "bm25_search_docs": _bm25_search_docs,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -1756,6 +1775,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bigram_bits_by_source"] = bigram_lm_sql(
         "documents", "doc_id", "text", "source")
+    from docprocai_service_ray.stages.bm25 import bm25_sql
+
+    sql["bm25_search_docs"] = bm25_sql(
+        "documents", "doc_id", "text", _BM25_TERMS, k=10)
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,
