@@ -78,6 +78,15 @@ QUERY_NAMES = [
     "unigram_bits_by_source",
     "embedding_outlier_stats",
     "token_postings",
+    # r4 wave 3: crawl hygiene, line-level rewrite dedup, tokenizer
+    # training, LM quality scoring, lexical search, classifier training
+    "normalized_urls",
+    "line_dedup_docs",
+    "bpe_merges",
+    "bigram_bits_by_source",
+    "bm25_search_docs",
+    "domain_doc_counts",
+    "quality_classifier_history",
 ]
 
 
