@@ -857,6 +857,44 @@ def _bpe_token_stats(sf_dir: str):
                             ["lang"], final, num_partitions=4)
 
 
+# --------------- exact duplicated-span scrub (stages/exactsubstr.py) --------
+
+def _dup_span_scrub_docs(sf_dir: str):
+    """Lee et al. ExactSubstr analog (stages/exactsubstr.dup_span_scrub):
+    every token span of ≥6 tokens occurring ≥2 times corpus-wide is
+    removed from every document. The random-vocab corpus has almost no
+    natural 6-gram repeats, so a boilerplate tail is PLANTED on
+    doc_id%4==0 docs on both sides — those docs must lose exactly the
+    planted span. REAL-SQL-oracled (gram-STRING twin — engine hash
+    collisions would surface as mismatches)."""
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.exactsubstr import dup_span_scrub_stats
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"]
+        t = df["text"].fillna("")
+        t = t.where(i % 4 != 0,
+                    t + " subscribe to our newsletter for daily updates now")
+        return pd.DataFrame({"doc_id": i, "text": t})
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+    return dup_span_scrub_stats(planted, "doc_id", "text", span_tokens=6)
+
+
+_DUP_SPAN_PLANTED_SQL = """(
+    SELECT doc_id,
+           coalesce(text, '')
+           || CASE WHEN doc_id % 4 = 0
+              THEN ' subscribe to our newsletter for daily updates now'
+              ELSE '' END AS text
+    FROM documents
+)"""
+
+
 # --------------- BM25 lexical search (stages/bm25.py) -----------------------
 
 _BM25_TERMS = ["spark", "window", "batch"]
@@ -1571,6 +1609,7 @@ _PRIORITY_QUERIES = [
     "near_dup_keep_best",
     "quality_classifier_history",
     "bm25_search_docs",
+    "dup_span_scrub_docs",
 ]
 
 
@@ -1645,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "near_dup_keep_best": _near_dup_keep_best,
             "quality_classifier_history": _quality_classifier_history,
             "bm25_search_docs": _bm25_search_docs,
+            "dup_span_scrub_docs": _dup_span_scrub_docs,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -1779,6 +1819,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bm25_search_docs"] = bm25_sql(
         "documents", "doc_id", "text", _BM25_TERMS, k=10)
+    from docprocai_service_ray.stages.exactsubstr import dup_span_scrub_sql
+
+    sql["dup_span_scrub_docs"] = dup_span_scrub_sql(
+        _DUP_SPAN_PLANTED_SQL, "doc_id", "text", span_tokens=6)
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,
