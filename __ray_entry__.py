@@ -857,6 +857,33 @@ def _bpe_token_stats(sf_dir: str):
                             ["lang"], final, num_partitions=4)
 
 
+# --------------- lexical gates (stages/lexgate.py) --------------------------
+
+_BLOCKWORDS = ["vector", "stream"]
+
+
+def _blockword_stats_docs(sf_dir: str):
+    """C4-style bad-words page gate (stages/lexgate.blockword_stats):
+    per source, docs containing any blocked TOKEN (exact token equality,
+    list rides the closure). REAL-SQL-oracled (list_filter twin)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.lexgate import blockword_stats
+
+    ds = _pq(sf_dir, "documents", ["text", "source"])
+    return blockword_stats(ds, "text", "source", _BLOCKWORDS)
+
+
+def _oov_by_source(sf_dir: str):
+    """Tokenizer-coverage diagnostic (stages/lexgate.oov_rate): share of
+    token occurrences outside the corpus top-30 vocabulary per source —
+    the post-BPE vocab-size sanity check. REAL-SQL-oracled."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.lexgate import oov_rate
+
+    ds = _pq(sf_dir, "documents", ["text", "source"])
+    return oov_rate(ds, "text", "source", vocab_size=30)
+
+
 # --------------- exact duplicated-span scrub (stages/exactsubstr.py) --------
 
 def _dup_span_scrub_docs(sf_dir: str):
@@ -1610,6 +1637,8 @@ _PRIORITY_QUERIES = [
     "quality_classifier_history",
     "bm25_search_docs",
     "dup_span_scrub_docs",
+    "blockword_stats_docs",
+    "oov_by_source",
 ]
 
 
@@ -1685,6 +1714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "quality_classifier_history": _quality_classifier_history,
             "bm25_search_docs": _bm25_search_docs,
             "dup_span_scrub_docs": _dup_span_scrub_docs,
+            "blockword_stats_docs": _blockword_stats_docs,
+            "oov_by_source": _oov_by_source,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -1823,6 +1854,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dup_span_scrub_docs"] = dup_span_scrub_sql(
         _DUP_SPAN_PLANTED_SQL, "doc_id", "text", span_tokens=6)
+    from docprocai_service_ray.stages.lexgate import (blockword_stats_sql,
+                                                      oov_rate_sql)
+
+    sql["blockword_stats_docs"] = blockword_stats_sql(
+        "documents", "text", "source", _BLOCKWORDS)
+    sql["oov_by_source"] = oov_rate_sql(
+        "documents", "text", "source", vocab_size=30)
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,
