@@ -857,6 +857,21 @@ def _bpe_token_stats(sf_dir: str):
                             ["lang"], final, num_partitions=4)
 
 
+# --------------- document chunking (stages/chunking.py) ---------------------
+
+def _doc_chunk_spans(sf_dir: str):
+    """RAG/embedding chunk preparation (stages/chunking.chunk_spans):
+    overlapping token windows with deterministic (id, chunk_id) keys and
+    token-offset spans — the segment-table design the KG sentences stage
+    uses, generalized to fixed windows. Pure map; REAL-SQL-oracled
+    (same window rule in DuckDB)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.chunking import chunk_spans
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_spans(ds, "doc_id", "text", chunk_tokens=32, stride=24)
+
+
 # --------------- lexical gates (stages/lexgate.py) --------------------------
 
 _BLOCKWORDS = ["vector", "stream"]
@@ -1639,6 +1654,7 @@ _PRIORITY_QUERIES = [
     "dup_span_scrub_docs",
     "blockword_stats_docs",
     "oov_by_source",
+    "doc_chunk_spans",
 ]
 
 
@@ -1716,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dup_span_scrub_docs": _dup_span_scrub_docs,
             "blockword_stats_docs": _blockword_stats_docs,
             "oov_by_source": _oov_by_source,
+            "doc_chunk_spans": _doc_chunk_spans,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -1861,6 +1878,10 @@ def oracle_sql() -> dict[str, str]:
         "documents", "text", "source", _BLOCKWORDS)
     sql["oov_by_source"] = oov_rate_sql(
         "documents", "text", "source", vocab_size=30)
+    from docprocai_service_ray.stages.chunking import chunk_spans_sql
+
+    sql["doc_chunk_spans"] = chunk_spans_sql(
+        "documents", "doc_id", "text", chunk_tokens=32, stride=24)
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,
