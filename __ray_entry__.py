@@ -857,6 +857,30 @@ def _bpe_token_stats(sf_dir: str):
                             ["lang"], final, num_partitions=4)
 
 
+# --------------- cluster topic terms (stages/topics.py) ---------------------
+
+def _cluster_topic_terms(sf_dir: str):
+    """BERTopic c-TF-IDF analog (stages/topics.cluster_topic_terms; the
+    reference's ST5 BERTopic refit): bit-deterministic kmeans over the
+    embeddings table → per-cluster characteristic terms from the aligned
+    documents (vec_id = doc_id in the testdata contract). Golden-frozen
+    (kmeans fixpoint; planted-vocab recovery + invariance in
+    tests/test_topics.py)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.topics import cluster_topic_terms
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    d = len(pf.read_row_group(0, columns=["embedding"])["embedding"][0])
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    embs = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cluster_topic_terms(docs, embs, dim=d, k=6, top_n=5,
+                               seed=_CFG.seed)
+
+
 # --------------- document chunking (stages/chunking.py) ---------------------
 
 def _doc_chunk_spans(sf_dir: str):
@@ -1595,6 +1619,9 @@ _GOLDEN_QUERIES = [
     # SQL-expressible; separable-data convergence + bit-invariance in
     # tests/test_classifier.py, golden pins the loss/acc history
     "quality_classifier_history",
+    # kmeans fixpoint + exact-count c-TF-IDF — deterministic
+    # (planted-vocab recovery + invariance in tests/test_topics.py)
+    "cluster_topic_terms",
 ]
 
 
@@ -1655,6 +1682,7 @@ _PRIORITY_QUERIES = [
     "blockword_stats_docs",
     "oov_by_source",
     "doc_chunk_spans",
+    "cluster_topic_terms",
 ]
 
 
@@ -1733,6 +1761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "blockword_stats_docs": _blockword_stats_docs,
             "oov_by_source": _oov_by_source,
             "doc_chunk_spans": _doc_chunk_spans,
+            "cluster_topic_terms": _cluster_topic_terms,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
