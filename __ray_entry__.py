@@ -227,6 +227,19 @@ def _near_dup_keep_best(sf_dir: str):
                               seed=_CFG.seed, cfg=_CFG)
 
 
+def _leakage_safe_split_docs(sf_dir: str):
+    """Contamination-safe holdout (stages/keepbest.leakage_safe_split):
+    near-dup clusters are the split unit, so no near-duplicate pair ever
+    straddles train/holdout (the Lee et al. §6.2 leakage mode).
+    Golden-frozen (LSH pair graph); the no-straddle property itself is
+    asserted in tests/test_keepbest.py."""
+    from docprocai_service_ray.stages.keepbest import leakage_safe_split
+
+    docs = _kg_run(sf_dir)["docs"].select_columns(["url", "text"])
+    return leakage_safe_split(docs, "url", "text", holdout_rate=0.2,
+                              threshold=0.9, seed=_CFG.seed, cfg=_CFG)
+
+
 def _embedding_near_dup(sf_dir: str):
     from docprocai_service_ray.pipelines.benchqueries import _pq
     from docprocai_service_ray.stages.similarity import embedding_near_dup_pairs
@@ -855,6 +868,51 @@ def _bpe_token_stats(sf_dir: str):
     # the per-lang nunique/total in `final` is exact
     return partition_reduce(enc.map_batches(partial, batch_format="pandas"),
                             ["lang"], final, num_partitions=4)
+
+
+# --------------- corpus versioning (stages/versioning.py) -------------------
+
+_DIFF_OLD_SQL = "(SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0)"
+_DIFF_NEW_SQL = """(
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' v2'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 17 <> 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents
+    WHERE doc_id % 13 = 0
+)"""
+
+
+def _corpus_diff_docs(sf_dir: str):
+    """Dump-over-dump diff (stages/versioning.corpus_diff): per id,
+    added/removed/changed/same by content md5 — the table incremental
+    re-processing keys off. Two deterministic corpus versions are
+    PLANTED from documents on both sides (drops, edits, additions).
+    REAL-SQL-oracled (FULL OUTER JOIN twin)."""
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.versioning import corpus_diff
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    old = ds.map_batches(
+        lambda df: df[df["doc_id"] % 11 != 0][["doc_id", "text"]],
+        batch_format="pandas")
+
+    def new_side(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"]
+        t = df["text"].fillna("")
+        edited = pd.DataFrame({
+            "doc_id": i, "text": t.where(i % 7 != 0, t + " v2")})
+        edited = edited[edited["doc_id"] % 17 != 0]  # planted removals
+        added = pd.DataFrame({
+            "doc_id": i[i % 13 == 0] + 100000,
+            "text": df.loc[i % 13 == 0, "text"]})
+        return pd.concat([edited, added], ignore_index=True)
+
+    new = ds.map_batches(new_side, batch_format="pandas")
+    return corpus_diff(old, new, "doc_id", "text")
 
 
 # --------------- cluster topic terms (stages/topics.py) ---------------------
@@ -1622,6 +1680,9 @@ _GOLDEN_QUERIES = [
     # kmeans fixpoint + exact-count c-TF-IDF — deterministic
     # (planted-vocab recovery + invariance in tests/test_topics.py)
     "cluster_topic_terms",
+    # cluster-unit split over the approximate LSH pair graph — golden
+    # pins the deterministic assignment; no-straddle property tested
+    "leakage_safe_split_docs",
 ]
 
 
@@ -1683,6 +1744,8 @@ _PRIORITY_QUERIES = [
     "oov_by_source",
     "doc_chunk_spans",
     "cluster_topic_terms",
+    "corpus_diff_docs",
+    "leakage_safe_split_docs",
 ]
 
 
@@ -1762,6 +1825,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "oov_by_source": _oov_by_source,
             "doc_chunk_spans": _doc_chunk_spans,
             "cluster_topic_terms": _cluster_topic_terms,
+            "corpus_diff_docs": _corpus_diff_docs,
+            "leakage_safe_split_docs": _leakage_safe_split_docs,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -1911,6 +1976,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["doc_chunk_spans"] = chunk_spans_sql(
         "documents", "doc_id", "text", chunk_tokens=32, stride=24)
+    from docprocai_service_ray.stages.versioning import corpus_diff_sql
+
+    sql["corpus_diff_docs"] = corpus_diff_sql(
+        _DIFF_OLD_SQL, _DIFF_NEW_SQL, "doc_id", "text")
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,

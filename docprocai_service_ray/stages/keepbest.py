@@ -101,3 +101,73 @@ def near_dup_keep_best(ds, id_col: str, text_col: str, *,
 
     return partition_reduce(scored, ["cluster_id"], pick,
                             num_partitions=num_partitions)
+
+
+def leakage_safe_split(ds, id_col: str, text_col: str, *,
+                       holdout_rate: float = 0.1, threshold: float = 0.8,
+                       shingle_words: int = 5, seed: int = 42,
+                       cfg: KGConfig | None = None,
+                       num_partitions: int = 16):
+    """Train/holdout split that CANNOT leak near-duplicates across the
+    boundary (the contamination mode Lee et al. 2021 §6.2 measure in
+    real splits): the split unit is the near-dup CLUSTER — every member
+    of a cluster hashes to the same side; singletons split by their own
+    id. Deterministic (stable_u64 of the unit key), so the split is
+    reproducible from (corpus, threshold, seed) alone.
+
+    Returns (id, unit, split) with split ∈ {"train", "holdout"} —
+    cluster closure reuses :func:`near_dup_keep_best`'s machinery."""
+    from .canonicalize import _components_distributed, _components_driver
+    from .dedup import minhash_lsh_pairs
+    from ..functions.hashing import stable_u64
+
+    cfg = cfg or KGConfig()
+    pairs = minhash_lsh_pairs(
+        ds, id_col, text_col, threshold=threshold,
+        shingle_words=shingle_words, seed=seed).materialize()
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "src": t["id_a"].cast(pa.string()),
+            "dst": t["id_b"].cast(pa.string()),
+        }), batch_format="pyarrow")
+    surfaces = distinct_rows(
+        edges.map_batches(
+            lambda t: pa.table({"surface": pa.concat_arrays(
+                [t["src"].combine_chunks(), t["dst"].combine_chunks()])}),
+            batch_format="pyarrow"),
+        ["surface"], num_partitions=num_partitions).materialize()
+    if edges.count() <= cfg.driver_unionfind_max:
+        comp = _components_driver(
+            collect_pandas(edges, ["src", "dst"]),
+            collect_pandas(surfaces, ["surface"])["surface"].tolist())
+        labels = ray.data.from_arrow(pa.table({
+            "__sid": pa.array(sorted(comp), pa.string()),
+            "__unit": pa.array([comp[n] for n in sorted(comp)], pa.string()),
+        }))
+    else:
+        labels = _components_distributed(edges, surfaces, cfg).map_batches(
+            lambda t: pa.table({"__sid": t["node"], "__unit": t["label"]}),
+            batch_format="pyarrow")
+
+    def sid(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col]].copy()
+        out["__sid"] = df[id_col].astype(str)
+        return out
+
+    tagged = hash_join(ds.map_batches(sid, batch_format="pandas"),
+                       labels, on="__sid", how="left")
+    cut = int(holdout_rate * (1 << 32))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype="object"),
+                                 "unit": pd.Series([], dtype=object),
+                                 "split": pd.Series([], dtype=object)})
+        unit = df["__unit"].fillna(df["__sid"])
+        h = unit.map(lambda u: stable_u64(u, seed) >> 32)  # top 32 bits
+        return pd.DataFrame({
+            id_col: df[id_col], "unit": unit,
+            "split": np.where(h < cut, "holdout", "train"),
+        })
+
+    return tagged.map_batches(assign, batch_format="pandas")
