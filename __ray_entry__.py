@@ -870,6 +870,58 @@ def _bpe_token_stats(sf_dir: str):
                             ["lang"], final, num_partitions=4)
 
 
+# --------------- text normalization (stages/textnorm.py) --------------------
+
+# dirty text PLANTED on both sides: tabs/NBSP/zero-width chars and a
+# DECOMPOSED é (e + U+0301) that NFC must compose
+_DIRTY_SQL = """(
+    SELECT doc_id,
+           CASE doc_id % 3
+             WHEN 0 THEN '  ' || chr(9) || coalesce(text, '')
+                         || ' ' || chr(8203) || ' tail  '
+             WHEN 1 THEN coalesce(text, '') || chr(160) || chr(160) || 'x'
+             ELSE coalesce(text, '') || ' caf' || chr(101) || chr(769)
+           END AS text
+    FROM documents
+)"""
+
+
+def _normalized_text_docs(sf_dir: str):
+    """C4/CCNet cleanup pass (stages/textnorm.normalize_text): NFC +
+    control/zero-width strip + whitespace collapse, run BEFORE dedup so
+    byte-variant duplicates collide. Dirty text is PLANTED identically
+    on both sides; certificate = (doc_id, md5, lengths). REAL-SQL-oracled
+    (nfc_normalize + the same RE2 chain)."""
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.textnorm import normalize_text
+    from docprocai_service_ray.stages.textstats import fingerprint_md5
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"]
+        t = df["text"].fillna("")
+        out = ("  \t" + t + " ​ tail  ").where(i % 3 == 0,
+              (t + "  x").where(i % 3 == 1,
+               t + " caf" + "é"))
+        return pd.DataFrame({"doc_id": i, "text": out})
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+    normed = normalize_text(planted, "text", out_col="text_norm")
+
+    def cert(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_in": df["text"].str.len().astype("int64"),
+            "n_out": df["text_norm"].str.len().astype("int64"),
+            "fp": fingerprint_md5(df["text_norm"]),
+        })
+
+    return normed.map_batches(cert, batch_format="pandas")
+
+
 # --------------- corpus versioning (stages/versioning.py) -------------------
 
 _DIFF_OLD_SQL = "(SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0)"
@@ -1746,6 +1798,7 @@ _PRIORITY_QUERIES = [
     "cluster_topic_terms",
     "corpus_diff_docs",
     "leakage_safe_split_docs",
+    "normalized_text_docs",
 ]
 
 
@@ -1827,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cluster_topic_terms": _cluster_topic_terms,
             "corpus_diff_docs": _corpus_diff_docs,
             "leakage_safe_split_docs": _leakage_safe_split_docs,
+            "normalized_text_docs": _normalized_text_docs,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -1980,6 +2034,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["corpus_diff_docs"] = corpus_diff_sql(
         _DIFF_OLD_SQL, _DIFF_NEW_SQL, "doc_id", "text")
+    from docprocai_service_ray.stages.textnorm import normalize_text_sql
+
+    sql["normalized_text_docs"] = f"""
+        SELECT doc_id, length(text) AS n_in,
+               length({normalize_text_sql('text')}) AS n_out,
+               md5({normalize_text_sql('text')}) AS fp
+        FROM {_DIRTY_SQL}
+    """
     emap = os.path.join(_GOLDEN_DIR, "kg_entity_map.parquet")
     sql["similar_surfaces"] = f"""
         SELECT a.surface AS s1, b.surface AS s2,
