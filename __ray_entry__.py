@@ -265,6 +265,20 @@ def _ann_lsh_topk(sf_dir: str):
     )
 
 
+def _ann_quantized_topk(sf_dir: str):
+    """SQ8 quantized search (stages/quantize.quantized_topk): int8
+    prefilter scan (4× fewer bytes than f32) + exact re-rank of the
+    candidate set — the memory-bandwidth ANN tier beside LSH/IVF.
+    Golden-frozen; prefilter recall and exact-rerank equality are
+    measured in tests/test_quantize.py."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq, _query_vec
+    from docprocai_service_ray.stages.quantize import quantized_topk
+
+    q = _query_vec(sf_dir)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return quantized_topk(ds, q, 10, rerank_factor=4)
+
+
 def _ann_ivf_topk(sf_dir: str):
     """Approximate NN via an IVF coarse quantizer (train on a bounded
     sample, broadcast centroids, one matmul assignment per batch, probe
@@ -1696,6 +1710,9 @@ _GOLDEN_QUERIES = [
     "embedding_near_dup",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # SQ8 prefilter is approximate BY DESIGN (recall measured in
+    # tests/test_quantize.py); golden pins the deterministic output
+    "ann_quantized_topk",
     # iterative float fixpoint — no exact SQL; verified vs dense numpy in
     # tests/test_graph.py, frozen rounded to 8dp
     "pagerank_entities",
@@ -1799,6 +1816,7 @@ _PRIORITY_QUERIES = [
     "corpus_diff_docs",
     "leakage_safe_split_docs",
     "normalized_text_docs",
+    "ann_quantized_topk",
 ]
 
 
@@ -1817,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_near_dup": _embedding_near_dup,
             "ann_lsh_topk": _ann_lsh_topk,
             "ann_ivf_topk": _ann_ivf_topk,
+            "ann_quantized_topk": _ann_quantized_topk,
             "ann_indexed_topk": _ann_indexed_topk,
             "lang_id_docs": _lang_id_docs,
             "quality_by_source": _quality_by_source,
