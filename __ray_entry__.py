@@ -213,6 +213,18 @@ def _near_dup_pages_simhash(sf_dir: str):
     return simhash_pairs(docs, "url", "text", max_hamming=0)
 
 
+def _dedup_threshold_profile(sf_dir: str):
+    """LSH banding tuning table (stages/dedup.minhash_threshold_profile):
+    candidate-pair counts per band config off ONE signature pass — how a
+    dedup threshold is actually chosen before committing a corpus-wide
+    run. Golden-frozen (seeded LSH; monotonicity + reuse asserted in
+    tests/test_dedup_profile.py)."""
+    from docprocai_service_ray.stages.dedup import minhash_threshold_profile
+
+    docs = _kg_run(sf_dir)["docs"].select_columns(["url", "text"])
+    return minhash_threshold_profile(docs, "url", "text", seed=_CFG.seed)
+
+
 def _near_dup_keep_best(sf_dir: str):
     """Near-dup cluster canonicalization (stages/keepbest): transitively
     close the verified MinHash pair graph and keep exactly one
@@ -1713,6 +1725,9 @@ _GOLDEN_QUERIES = [
     # SQ8 prefilter is approximate BY DESIGN (recall measured in
     # tests/test_quantize.py); golden pins the deterministic output
     "ann_quantized_topk",
+    # seeded-LSH candidate counts per banding — golden pins the
+    # deterministic profile
+    "dedup_threshold_profile",
     # iterative float fixpoint — no exact SQL; verified vs dense numpy in
     # tests/test_graph.py, frozen rounded to 8dp
     "pagerank_entities",
@@ -1817,6 +1832,7 @@ _PRIORITY_QUERIES = [
     "leakage_safe_split_docs",
     "normalized_text_docs",
     "ann_quantized_topk",
+    "dedup_threshold_profile",
 ]
 
 
@@ -1836,6 +1852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_lsh_topk": _ann_lsh_topk,
             "ann_ivf_topk": _ann_ivf_topk,
             "ann_quantized_topk": _ann_quantized_topk,
+            "dedup_threshold_profile": _dedup_threshold_profile,
             "ann_indexed_topk": _ann_indexed_topk,
             "lang_id_docs": _lang_id_docs,
             "quality_by_source": _quality_by_source,

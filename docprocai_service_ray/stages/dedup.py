@@ -615,3 +615,74 @@ def probe_dedup_index(new_ds, index_dir: str, id_col: str, text_col: str, *,
         return out[out["est_jaccard"] >= threshold]
 
     return with_sigs.map_batches(estimate, batch_format="pandas")
+
+
+def minhash_threshold_profile(ds, id_col: str, text_col: str, *,
+                              shingle_words: int = 5, num_perms: int = 64,
+                              band_configs: tuple = (4, 8, 16, 32),
+                              seed: int = 42, num_partitions: int = 32):
+    """Dedup-threshold tuning profile — how many candidate pairs each LSH
+    banding of the SAME signature set would enumerate. Signatures are the
+    expensive part (full shingling pass over the corpus); this computes
+    them ONCE (``_MinhashSig`` with bands=1, emit_sigs — one 8·num_perms
+    byte row per doc, materialized) and derives every ``bands`` config
+    from the stored bytes, so profiling 4 thresholds costs one corpus
+    pass + 4 exchanges of (band, id) rows instead of 4 full re-shingles.
+
+    Returns one row per config: (bands, rows_per_band, est_threshold =
+    (1/b)^(1/r), the banding's LSH S-curve midpoint, n_candidates =
+    DISTINCT candidate pairs the production path (same star-capping)
+    would verify). More bands ⇒ lower threshold ⇒ monotonically ≥
+    candidates (tested)."""
+    import zlib
+
+    from ..state.groupby import distinct_rows, partition_reduce
+
+    sigs = ds.map_batches(
+        _MinhashSig,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, k=shingle_words,
+            num_perms=num_perms, bands=1, seed=seed, emit_sigs=True,
+        ),
+        batch_format="pyarrow",
+        concurrency=pool_size(4),
+    ).map_batches(lambda t: pa.table({"id": t["id"], "sig": t["sig"]}),
+                  batch_format="pyarrow").materialize()
+
+    out = []
+    for b in band_configs:
+        if num_perms % b:
+            raise ValueError(f"bands {b} must divide num_perms {num_perms}")
+        r = num_perms // b
+        w = r * 8
+
+        def band_rows(t: pa.Table, b=b, w=w) -> pa.Table:
+            o_band, o_id = [], []
+            for i, s in zip(t["id"].to_pylist(), t["sig"].to_pylist()):
+                for bi in range(b):
+                    o_band.append(
+                        zlib.crc32(s[bi * w:(bi + 1) * w], bi) | (bi << 32))
+                    o_id.append(i)
+            return pa.table({"band": pa.array(o_band, pa.uint64()),
+                             "id": o_id})
+
+        def pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
+            part = part[part.duplicated("band", keep=False)]
+            out_a, out_b = [], []
+            for _, g in part.groupby("band", sort=False):
+                for p in _pairs_in_bucket(g["id"].tolist(), DEDUP_PAIR_CAP):
+                    out_a.append(p[0])
+                    out_b.append(p[1])
+            return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+        pairs = distinct_rows(
+            partition_reduce(
+                sigs.map_batches(band_rows, batch_format="pyarrow"),
+                ["band"], pairs_partition, num_partitions=num_partitions),
+            ["id_a", "id_b"])
+        out.append((b, r, round((1.0 / b) ** (1.0 / r), 4),
+                    int(pairs.count())))
+    return pd.DataFrame(out, columns=["bands", "rows_per_band",
+                                      "est_threshold", "n_candidates"]
+                        ).astype({"bands": "int64", "rows_per_band": "int64",
+                                  "n_candidates": "int64"})
