@@ -896,6 +896,101 @@ def _bpe_token_stats(sf_dir: str):
                             ["lang"], final, num_partitions=4)
 
 
+# --------------- domain scorecard (wave-3 composition) ----------------------
+
+def _domain_scorecard(sf_dir: str):
+    """Release scorecard per registrable domain — the table a curation
+    run publishes before a dump ships: doc count, mean quality score and
+    bad-word-flagged docs, keyed by eTLD+1 (composition of
+    stages/domains + stages/textstats.quality_score + stages/lexgate
+    over planted urls). Partial pre-agg per batch; one domain-keyed
+    exchange. REAL-SQL-oracled end to end."""
+    import numpy as np
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.domains import add_registrable_domain
+    from docprocai_service_ray.stages.lexgate import _hit_mask
+    from docprocai_service_ray.stages.textstats import quality_score
+    from docprocai_service_ray.state.groupby import partition_reduce
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    planted = ds.map_batches(_plant_urls, batch_format="pandas")
+    withdom = add_registrable_domain(planted, "url", "domain")
+    blocked = frozenset(_BLOCKWORDS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "domain": df["domain"],
+            "q": quality_score(df["text"]),
+            "h": _hit_mask(df["text"], blocked).astype("int64"),
+        }).groupby("domain", as_index=False).agg(
+            n=("q", "size"), qs=("q", "sum"), f=("h", "sum"))
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("domain", as_index=False).agg(
+            n=("n", "sum"), qs=("qs", "sum"), f=("f", "sum"))
+        return pd.DataFrame({
+            "domain": g["domain"],
+            "n_docs": g["n"].astype("int64"),
+            "avg_quality": (g["qs"] / g["n"]).round(4),
+            "flagged_docs": g["f"].astype("int64"),
+        })
+
+    return partition_reduce(withdom.map_batches(partial, batch_format="pandas"),
+                            ["domain"], final, num_partitions=8)
+
+
+def _domain_scorecard_sql() -> str:
+    from docprocai_service_ray.stages.domains import registrable_domain_sql
+    from docprocai_service_ray.stages.textstats import _STOPWORDS
+
+    word_re = "[a-zàâäéèêëîïôöùûüß]+"
+    en = _sql_list(_STOPWORDS["en"])
+    blocked = ", ".join(f"'{w}'" for w in sorted(_BLOCKWORDS))
+    url = """(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+           || '://WWW.Site' || (doc_id % 50) || '.Example'
+           || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                    WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+           || '/Path/' || doc_id
+           || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || (doc_id % 7)
+                    WHEN doc_id % 3 = 1 THEN '?id=' || (doc_id % 7) || '&gclid=abc'
+                    ELSE '#Frag' || (doc_id % 5) END)"""
+    host = f"regexp_extract({url}, '^[a-z]+://([^/:?#]+)', 1)"
+    dom = registrable_domain_sql(host)
+    return f"""
+        WITH sc AS (
+            SELECT {dom} AS domain, coalesce(text, '') AS t FROM documents
+        ), m AS (
+            SELECT domain,
+                   length(t) AS n,
+                   len(regexp_extract_all(t, '[.!?,;:]'))::DOUBLE
+                       / greatest(length(t), 1) AS pr,
+                   len(list_filter(regexp_extract_all(lower(t), '{word_re}'),
+                                   x -> list_contains({en}, x)))::DOUBLE
+                       / greatest(len(regexp_extract_all(lower(t),
+                                                         '{word_re}')), 1)
+                       AS swr,
+                   len(list_filter(regexp_extract_all(lower(t), '[a-z]+'),
+                       w -> w IN ({blocked}))) > 0 AS hit
+            FROM sc
+        ), q AS (
+            SELECT domain, hit,
+                   ROUND(0.4::DOUBLE * (CASE WHEN n BETWEEN 50 AND 100000
+                                             THEN 1 ELSE 0 END)
+                       + 0.3::DOUBLE * (CASE WHEN pr > 0.0 AND pr < 0.2
+                                             THEN 1 ELSE 0 END)
+                       + 0.3::DOUBLE * (CASE WHEN swr > 0.02
+                                             THEN 1 ELSE 0 END), 6) AS q
+            FROM m
+        )
+        SELECT domain, COUNT(*) AS n_docs,
+               ROUND(AVG(q), 4) AS avg_quality,
+               COUNT(*) FILTER (WHERE hit) AS flagged_docs
+        FROM q GROUP BY 1
+    """
+
+
 # --------------- text normalization (stages/textnorm.py) --------------------
 
 # dirty text PLANTED on both sides: tabs/NBSP/zero-width chars and a
@@ -1833,6 +1928,7 @@ _PRIORITY_QUERIES = [
     "normalized_text_docs",
     "ann_quantized_topk",
     "dedup_threshold_profile",
+    "domain_scorecard",
 ]
 
 
@@ -1853,6 +1949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_ivf_topk": _ann_ivf_topk,
             "ann_quantized_topk": _ann_quantized_topk,
             "dedup_threshold_profile": _dedup_threshold_profile,
+            "domain_scorecard": _domain_scorecard,
             "ann_indexed_topk": _ann_indexed_topk,
             "lang_id_docs": _lang_id_docs,
             "quality_by_source": _quality_by_source,
@@ -2070,6 +2167,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["corpus_diff_docs"] = corpus_diff_sql(
         _DIFF_OLD_SQL, _DIFF_NEW_SQL, "doc_id", "text")
+    sql["domain_scorecard"] = _domain_scorecard_sql()
     from docprocai_service_ray.stages.textnorm import normalize_text_sql
 
     sql["normalized_text_docs"] = f"""
