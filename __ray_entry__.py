@@ -896,6 +896,22 @@ def _bpe_token_stats(sf_dir: str):
                             ["lang"], final, num_partitions=4)
 
 
+# --------------- Gopher quality rules (stages/gopher.py) --------------------
+
+def _gopher_rules_by_source(sf_dir: str):
+    """Gopher Table-A1 document gate (stages/gopher.gopher_rules_stats):
+    per source, per-rule failure counts + docs passing the whole gate —
+    the standard pretraining quality filter (Rae et al. 2021; also
+    RefinedWeb/Dolma). min_words lowered to 20 so the short synthetic
+    docs exercise both sides of R1. REAL-SQL-oracled (same regexes and
+    thresholds in DuckDB)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.gopher import gopher_rules_stats
+
+    ds = _pq(sf_dir, "documents", ["text", "source"])
+    return gopher_rules_stats(ds, "text", "source", min_words=20)
+
+
 # --------------- domain scorecard (wave-3 composition) ----------------------
 
 def _domain_scorecard(sf_dir: str):
@@ -1929,6 +1945,7 @@ _PRIORITY_QUERIES = [
     "ann_quantized_topk",
     "dedup_threshold_profile",
     "domain_scorecard",
+    "gopher_rules_by_source",
 ]
 
 
@@ -1950,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_quantized_topk": _ann_quantized_topk,
             "dedup_threshold_profile": _dedup_threshold_profile,
             "domain_scorecard": _domain_scorecard,
+            "gopher_rules_by_source": _gopher_rules_by_source,
             "ann_indexed_topk": _ann_indexed_topk,
             "lang_id_docs": _lang_id_docs,
             "quality_by_source": _quality_by_source,
@@ -2168,6 +2186,10 @@ def oracle_sql() -> dict[str, str]:
     sql["corpus_diff_docs"] = corpus_diff_sql(
         _DIFF_OLD_SQL, _DIFF_NEW_SQL, "doc_id", "text")
     sql["domain_scorecard"] = _domain_scorecard_sql()
+    from docprocai_service_ray.stages.gopher import gopher_rules_sql
+
+    sql["gopher_rules_by_source"] = gopher_rules_sql(
+        "documents", "text", "source", min_words=20)
     from docprocai_service_ray.stages.textnorm import normalize_text_sql
 
     sql["normalized_text_docs"] = f"""
