@@ -1454,6 +1454,18 @@ def _doc_shard_shuffle(sf_dir: str):
     return shard_shuffle(ds, "doc_id", 8, seed=_CFG.seed)
 
 
+def _lang_mix_alpha(sf_dir: str):
+    """XLM-R temperature sampling weights (stages/textstats.
+    lang_mix_alpha_weights, alpha=0.3): q_i ∝ p_i^alpha smoothing of the
+    natural language mix — the published multilingual rebalancing rule
+    next to the uniform-target lang_mix_weights. REAL-SQL-oracled."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.textstats import lang_mix_alpha_weights
+
+    ds = _pq(sf_dir, "documents", ["lang", "text"])
+    return lang_mix_alpha_weights(ds, "lang", "text", alpha=0.3)
+
+
 def _lang_mix_weights(sf_dir: str):
     """Training-mix reweighting (stages/textstats.lang_mix_weights): per
     language, token share and the uniform-target sampling multiplier
@@ -1946,6 +1958,7 @@ _PRIORITY_QUERIES = [
     "dedup_threshold_profile",
     "domain_scorecard",
     "gopher_rules_by_source",
+    "lang_mix_alpha",
 ]
 
 
@@ -1968,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_threshold_profile": _dedup_threshold_profile,
             "domain_scorecard": _domain_scorecard,
             "gopher_rules_by_source": _gopher_rules_by_source,
+            "lang_mix_alpha": _lang_mix_alpha,
             "ann_indexed_topk": _ann_indexed_topk,
             "lang_id_docs": _lang_id_docs,
             "quality_by_source": _quality_by_source,
@@ -2104,9 +2118,12 @@ def oracle_sql() -> dict[str, str]:
 
     sql["doc_shard_shuffle"] = shard_shuffle_sql(
         "documents", "doc_id", 8, seed=_CFG.seed)
-    from docprocai_service_ray.stages.textstats import lang_mix_sql
+    from docprocai_service_ray.stages.textstats import (lang_mix_alpha_sql,
+                                                        lang_mix_sql)
 
     sql["lang_mix_weights"] = lang_mix_sql("documents", "lang", "text")
+    sql["lang_mix_alpha"] = lang_mix_alpha_sql("documents", "lang", "text",
+                                               alpha=0.3)
     from docprocai_service_ray.stages.decontam import decontam_sql
 
     sql["decontam_by_source"] = decontam_sql(

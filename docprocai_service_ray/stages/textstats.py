@@ -652,3 +652,76 @@ def lang_mix_sql(table: str, lang_col: str, text_col: str,
                      {round_to}) AS multiplier
         FROM per_lang
     """
+
+
+def lang_mix_alpha_weights(ds, lang_col: str, text_col: str, *,
+                           alpha: float = 0.3, round_to: int = 6,
+                           num_partitions: int = 4):
+    """Temperature-based multilingual sampling weights — the exponent
+    rule multilingual pretraining actually uses (Conneau et al. 2020
+    XLM-R §3.1, mBERT's exponent smoothing): sample language i with
+
+        q_i = p_i^alpha / Σ_j p_j^alpha,   p_i = token share
+
+    alpha=1 keeps natural proportions, alpha→0 approaches uniform; 0.3
+    is the published XLM-R setting. Returns per language the natural
+    share, the smoothed sampling weight q, and the per-doc multiplier
+    q_i/p_i (relative up/down-sampling rate; feeds weighted_sample).
+
+    Same exchange shape as :func:`lang_mix_weights` (one lang-keyed int
+    exchange, finisher on the #languages-row result)."""
+    import numpy as np
+
+    from ..state.groupby import collect_pandas, partition_reduce
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.assign(tok=token_counts(df[text_col]))
+                .groupby(lang_col, as_index=False)
+                .agg(s=("tok", "sum"), n=("tok", "size")))
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(lang_col, as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+
+    grouped = partition_reduce(
+        ds.map_batches(per_batch, batch_format="pandas"),
+        [lang_col], merge, num_partitions=num_partitions)
+    df = collect_pandas(grouped, [lang_col, "s", "n"])
+    df = (df.groupby(lang_col, as_index=False).agg(s=("s", "sum"),
+                                                   n=("n", "sum"))
+          .sort_values(lang_col).reset_index(drop=True))
+    tok = df["s"].to_numpy(dtype="float64")
+    p = tok / tok.sum()
+    q = p ** alpha
+    q = q / q.sum()
+    return pd.DataFrame({
+        lang_col: df[lang_col],
+        "n_tokens": df["s"].astype("int64"),
+        "token_share": np.round(p, round_to),
+        "sample_weight": np.round(q, round_to),
+        "rate_multiplier": np.round(q / p, round_to),
+    })
+
+
+def lang_mix_alpha_sql(table: str, lang_col: str, text_col: str, *,
+                       alpha: float = 0.3, round_to: int = 6) -> str:
+    """DuckDB twin of :func:`lang_mix_alpha_weights`."""
+    ntok = (f"SUM(len(list_filter(regexp_split_to_array({text_col}, "
+            f"'\\s+'), x -> x <> '')))")
+    return f"""
+        WITH per_lang AS (
+            SELECT {lang_col}, CAST({ntok} AS BIGINT) AS n_tokens
+            FROM {table} GROUP BY 1
+        ), shares AS (
+            SELECT {lang_col}, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS p
+            FROM per_lang
+        )
+        SELECT {lang_col}, n_tokens,
+               ROUND(p, {round_to}) AS token_share,
+               ROUND(pow(p, {alpha}) / SUM(pow(p, {alpha})) OVER (),
+                     {round_to}) AS sample_weight,
+               ROUND((pow(p, {alpha}) / SUM(pow(p, {alpha})) OVER ()) / p,
+                     {round_to}) AS rate_multiplier
+        FROM shares
+    """

@@ -79,3 +79,58 @@ def test_bad_num_buckets_rejected():
     ds = rd.from_pandas(pd.DataFrame({"doc_id": [1]}))
     with pytest.raises(ValueError, match="num_buckets"):
         shard_shuffle(ds, "doc_id", 2, num_buckets=0)
+
+
+class TestLangMixAlpha:
+    """Temperature sampling weights (textstats.lang_mix_alpha_weights):
+    alpha edges, brute parity, SQL twin. Registered-query sf0.01 parity
+    is covered by tests/test_queries.py."""
+
+    DOCS = pd.DataFrame({
+        "lang": ["en"] * 8 + ["de"] * 3 + ["fr"],
+        "text": ["one two three four"] * 8 + ["eins zwei"] * 3 + ["un"],
+    })
+
+    def _run(self, alpha):
+        import ray.data as rd
+
+        from docprocai_service_ray.stages.textstats import \
+            lang_mix_alpha_weights
+
+        return lang_mix_alpha_weights(
+            rd.from_pandas(self.DOCS).repartition(3), "lang", "text",
+            alpha=alpha)
+
+    def test_alpha_edges_and_brute(self):
+        import numpy as np
+        out1 = self._run(1.0)   # natural proportions
+        assert np.allclose(out1["sample_weight"], out1["token_share"],
+                           atol=1e-6)
+        out0 = self._run(1e-9)  # → uniform
+        assert np.allclose(out0["sample_weight"], 1 / 3, atol=1e-3)
+        out = self._run(0.3)
+        toks = np.array([32.0, 6.0, 1.0])  # en, de, fr token counts
+        p = toks / toks.sum()
+        q = p ** 0.3
+        q /= q.sum()
+        assert out["lang"].tolist() == ["de", "en", "fr"]
+        exp = dict(zip(["en", "de", "fr"], q))
+        got = dict(zip(out["lang"], out["sample_weight"]))
+        for k in exp:
+            assert abs(got[k] - exp[k]) < 1e-6
+        # smoothing up-samples the tail, down-samples the head
+        rm = dict(zip(out["lang"], out["rate_multiplier"]))
+        assert rm["fr"] > 1.0 > rm["en"]
+
+    def test_sql_parity(self):
+        import duckdb
+
+        from docprocai_service_ray.stages.textstats import lang_mix_alpha_sql
+
+        got = self._run(0.3).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", self.DOCS)
+        sq = (con.execute(lang_mix_alpha_sql("t", "lang", "text", alpha=0.3))
+              .df().sort_values("lang").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, sq[got.columns].astype(
+            got.dtypes.to_dict()))
