@@ -1188,9 +1188,11 @@ SQL: dict[str, str] = {
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
     """,
-    "token_stats_by_lang": """
+    # split class = textstats._PY_WS_SQL (Python-\s-equivalent, not RE2's
+    # ASCII-only \s) so the oracle tokenizes exactly like token_counts()
+    "token_stats_by_lang": r"""
         SELECT lang,
-               CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+               CAST(SUM(len(list_filter(regexp_split_to_array(text, '[\t\n\x0b\f\r\x1c-\x1f\x85\p{Z}]+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1
     """,

@@ -80,11 +80,25 @@ def export_jsonl(ds, out_dir: str, *, columns: list[str] | None = None,
                                                   dtype="int64"),
                              "sha256": [sha]})
 
-    manifest = (ds.map_batches(write_shard, batch_format="pandas")
-                .to_pandas().sort_values("file").reset_index(drop=True))
+    raw = (ds.map_batches(write_shard, batch_format="pandas")
+           .to_pandas().sort_values("file").reset_index(drop=True))
+    # Two blocks can serialize to identical bytes (duplicate data) — only
+    # ONE file exists on disk then, so the manifest must list it once or
+    # directory-scanning consumers and manifest-driven readers disagree on
+    # row counts. Aggregate per file: n_rows = rows IN THE FILE (on-disk
+    # truth), n_source_blocks surfaces the collapse loudly instead of
+    # silently double-counting.
+    manifest = (raw.groupby(["file", "sha256"], as_index=False)
+                .agg(n_rows=("n_rows", "first"), n_bytes=("n_bytes", "first"),
+                     n_source_blocks=("file", "size"))
+                [["file", "n_rows", "n_bytes", "sha256", "n_source_blocks"]]
+                .sort_values("file").reset_index(drop=True))
+    n_dup_blocks = int(raw["n_rows"].sum() - manifest["n_rows"].sum())
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump({"shards": manifest.to_dict("records"),
                    "n_rows": int(manifest["n_rows"].sum()),
+                   "n_input_rows": int(raw["n_rows"].sum()),
+                   "n_dedup_rows": n_dup_blocks,
                    "n_shards": int(len(manifest))}, f, indent=1)
     return manifest
 

@@ -84,7 +84,11 @@ def bm25_topk(ds, id_col: str, text_col: str, query_terms: list[str], *,
 
     def contrib(d: pd.DataFrame) -> pd.DataFrame:
         if not len(d):
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+            # id dtype from the incoming column (string ids mixed with an
+            # empty block must not yield an int64 frame — Arrow schema
+            # union would fail), like _pass above
+            dt = d[id_col].dtype if id_col in d.columns else "int64"
+            return pd.DataFrame({id_col: pd.Series([], dtype=dt),
                                  "s": pd.Series([], dtype="float64")})
         w_idf = d["w"].map(idf).to_numpy()
         tf = d["tf"].to_numpy(dtype=np.float64)

@@ -32,7 +32,10 @@ DEFAULT_ML_SUFFIXES = (
     "com.cn", "com.mx", "com.ar", "com.tr",
 )
 
-_HOST_RE = r"^[a-z]+://([^/:?#]+)"
+# case-insensitive scheme + optional userinfo skip — same fail-closed
+# host contract as stages/urltools._HOST_PAT (raw crawl URLs with
+# 'HTTP://' or 'user@host' still yield their real host)
+_HOST_RE = r"^[a-zA-Z]+://(?:[^/?#@]*@)?([^/:?#]+)"
 _LAST2_RE = r"([^.]+\.[^.]+)$"
 _LAST3_RE = r"([^.]+\.[^.]+\.[^.]+)$"
 

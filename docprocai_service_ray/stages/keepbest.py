@@ -160,7 +160,8 @@ def leakage_safe_split(ds, id_col: str, text_col: str, *,
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame({id_col: pd.Series([], dtype="object"),
+            dt = df[id_col].dtype if id_col in df.columns else object
+            return pd.DataFrame({id_col: pd.Series([], dtype=dt),
                                  "unit": pd.Series([], dtype=object),
                                  "split": pd.Series([], dtype=object)})
         unit = df["__unit"].fillna(df["__sid"])

@@ -38,7 +38,8 @@ def quantize_embeddings(ds, id_col: str, emb_col: str):
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+            dt = df[id_col].dtype if id_col in df.columns else "int64"
+            return pd.DataFrame({id_col: pd.Series([], dtype=dt),
                                  "codes": pd.Series([], dtype=object),
                                  "scale": pd.Series([], dtype="float64"),
                                  "norm": pd.Series([], dtype="float64")})
@@ -72,7 +73,10 @@ def quantized_topk(ds, query: np.ndarray, k: int, *, id_col: str = "vec_id",
 
     def prefilter(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+            # id dtype from the incoming column — string ids must not
+            # yield an int64 empty frame (Arrow schema-union failure)
+            dt = df[id_col].dtype if id_col in df.columns else "int64"
+            return pd.DataFrame({id_col: pd.Series([], dtype=dt),
                                  "s": pd.Series([], dtype="float64")})
         codes = np.vstack([np.frombuffer(b, dtype=np.int8) for b in df["codes"]])
         dots = codes.astype(np.int32) @ qq.astype(np.int32)
@@ -93,7 +97,8 @@ def quantized_topk(ds, query: np.ndarray, k: int, *, id_col: str = "vec_id",
     def rerank(df: pd.DataFrame) -> pd.DataFrame:
         keep = df[df[id_col].isin(ray.get(ids_ref))]
         if not len(keep):
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+            dt = df[id_col].dtype if id_col in df.columns else "int64"
+            return pd.DataFrame({id_col: pd.Series([], dtype=dt),
                                  "score": pd.Series([], dtype="float64")})
         x = _as_matrix(keep[emb_col])
         denom = np.linalg.norm(x, axis=1) * qnorm

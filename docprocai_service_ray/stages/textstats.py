@@ -24,6 +24,11 @@ _STOPWORDS = {
 _WORD_RE = re.compile(r"[a-zàâäéèêëîïôöùûüßa-z]+")
 _TOKEN_RE = r"\S+"
 _PUNCT_RE = r"[.!?,;:]"
+# RE2 spelling of Python's Unicode \s (White_Space = \p{Z} plus the ASCII
+# controls), so DuckDB twins that split on whitespace count EXACTLY the
+# tokens token_counts() counts — RE2's bare \s is ASCII-only and diverges
+# on NBSP/unicode-space text (the divergence textnorm.py documents).
+_PY_WS_SQL = r"[\t\n\x0b\f\r\x1c-\x1f\x85\p{Z}]"
 
 
 def token_counts(texts: pd.Series) -> pd.Series:
@@ -636,7 +641,7 @@ def lang_mix_sql(table: str, lang_col: str, text_col: str,
     """DuckDB twin of :func:`lang_mix_weights` (same whitespace token
     count as token_stats_by_lang's oracle, same uniform target)."""
     ntok = (f"SUM(len(list_filter(regexp_split_to_array({text_col}, "
-            f"'\\s+'), x -> x <> '')))")
+            f"'{_PY_WS_SQL}+'), x -> x <> '')))")
     return f"""
         WITH per_lang AS (
             SELECT {lang_col}, COUNT(*) AS n_docs,
@@ -707,7 +712,7 @@ def lang_mix_alpha_sql(table: str, lang_col: str, text_col: str, *,
                        alpha: float = 0.3, round_to: int = 6) -> str:
     """DuckDB twin of :func:`lang_mix_alpha_weights`."""
     ntok = (f"SUM(len(list_filter(regexp_split_to_array({text_col}, "
-            f"'\\s+'), x -> x <> '')))")
+            f"'{_PY_WS_SQL}+'), x -> x <> '')))")
     return f"""
         WITH per_lang AS (
             SELECT {lang_col}, CAST({ntok} AS BIGINT) AS n_tokens

@@ -48,7 +48,13 @@ _NORM_STEPS: list[tuple[str, str]] = [
     (r"^(https)://([^/:?#]+):443($|[/?#].*)", r"\1://\2\3"),
 ]
 _SCHEME_HOST_RE = re.compile(r"^[a-zA-Z]+://[^/?#]*")
-_HOST_RE = re.compile(r"^[a-z]+://([^/:?#]+)")
+# Host extraction must not fail open on raw (un-normalized) crawl URLs:
+# the scheme matches case-insensitively ('HTTP://blocked/...' still yields
+# the host) and an optional userinfo prefix ('http://u@blocked/') is
+# skipped, so the blocklist gate holds whether or not normalize_urls ran
+# first. RE2-compatible (shared verbatim with the DuckDB twin below).
+_HOST_PAT = r"^[a-zA-Z]+://(?:[^/?#@]*@)?([^/:?#]+)"
+_HOST_RE = re.compile(_HOST_PAT)
 
 
 def normalize_url_series(urls: pd.Series) -> pd.Series:
@@ -84,8 +90,12 @@ def normalize_url_sql(expr: str) -> str:
     (same patterns, same order; 'g' on the multi-match tracker step)."""
     e = f"regexp_replace({expr}, '#.*$', '')"
     e = f"regexp_replace({e}, '&{_TRK}=[^&#]*', '', 'g')"
-    e = f"regexp_replace({e}, '\\?{_TRK}=[^&#]*&', '?')"
-    e = f"regexp_replace({e}, '\\?{_TRK}=[^&#]*$', '')"
+    # 'g' on the leading-tracker steps too: the anchors mean they can
+    # match at most once per query start anyway, and the flag keeps the
+    # SQL identical to pandas' always-global str.replace on pathological
+    # URLs containing a second literal '?'.
+    e = f"regexp_replace({e}, '\\?{_TRK}=[^&#]*&', '?', 'g')"
+    e = f"regexp_replace({e}, '\\?{_TRK}=[^&#]*$', '', 'g')"
     head = f"regexp_extract({e}, '^[a-zA-Z]+://[^/?#]*')"
     e = f"concat(lower({head}), substr({e}, length({head}) + 1))"
     e = (f"regexp_replace({e}, '^(http)://([^/:?#]+):80($|[/?#].*)', "
@@ -117,7 +127,7 @@ def blocklist_predicate_sql(url_expr: str, blocklist: list[str],
                             blocked: bool = True) -> str:
     """DuckDB predicate matching :func:`host_blocklist_filter` — same
     host regex, same exact-or-subdomain rule."""
-    host = f"lower(regexp_extract({url_expr}, '^[a-z]+://([^/:?#]+)', 1))"
+    host = f"lower(regexp_extract({url_expr}, '{_HOST_PAT}', 1))"
     terms = []
     for b in sorted(set(x.lower() for x in blocklist)):
         terms.append(f"({host} = '{b}' OR {host} LIKE '%.{b}')")

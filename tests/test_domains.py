@@ -55,9 +55,9 @@ def test_rollup_counts():
     ds = rd.from_pandas(pd.DataFrame({"url": urls}))
     out = domain_rollup(ds, "url").to_pandas().sort_values("domain")
     got = dict(zip(out["domain"], out["n_docs"]))
-    # uppercase scheme / null urls extract no host → '' bucket (the
-    # urltools contract: normalize first)
-    assert got == {"": 2, "x.co.uk": 3, "y.com": 2}
+    # uppercase scheme still parses (fail-closed host contract, ADVICE
+    # r4); only the null url falls into the '' bucket
+    assert got == {"": 1, "unparsed": 1, "x.co.uk": 3, "y.com": 2}
 
 
 def test_add_column_passthrough():

@@ -84,3 +84,25 @@ def test_plain_and_column_subset(tmp_path):
     lines = [json.loads(l) for l in open(shard, encoding="utf-8")]
     assert set(lines[0].keys()) == {"id", "text"}
     assert verify_export(out)["ok"]
+
+
+def test_duplicate_blocks_collapse_in_manifest(tmp_path):
+    """Two blocks with identical bytes → ONE file on disk; the manifest
+    must list it once (directory scan == manifest) with the collapse
+    surfaced via n_source_blocks / n_dedup_rows, not double-counted."""
+    docs = _docs(10)
+    dup = rd.from_pandas(docs).repartition(1).union(
+        rd.from_pandas(docs).repartition(1))
+    out = str(tmp_path / "dupdump")
+    man = export_jsonl(dup, out, sort_within_shard="id")
+    shards_on_disk = sorted(
+        f for f in os.listdir(out) if f.startswith("shard-"))
+    assert list(man["file"]) == shards_on_disk          # manifest == dir
+    assert len(man) == 1 and man["n_source_blocks"].iloc[0] == 2
+    assert man["n_rows"].iloc[0] == len(docs)           # on-disk truth
+    with open(os.path.join(out, "manifest.json")) as f:
+        j = json.load(f)
+    assert j["n_rows"] == len(docs)
+    assert j["n_input_rows"] == 2 * len(docs)
+    assert j["n_dedup_rows"] == len(docs)
+    assert verify_export(out)["ok"]

@@ -78,10 +78,13 @@ HOSTS = [
     ("http://spam.example/x", True),          # exact
     ("http://www.spam.example/x", True),      # subdomain
     ("http://a.b.spam.example/x", True),      # deep subdomain
-    ("HTTP://spam.example/x", False),         # uppercase SCHEME not matched
-    # by _HOST_RE — the contract is normalize_urls runs first (it
-    # lowercases scheme+host); host case alone is handled by lower()
+    ("HTTP://spam.example/x", True),          # raw uppercase scheme must
+    # NOT fail open (ADVICE r4: the gate holds pre-normalization)
     ("http://Spam.Example/x", True),
+    ("http://u@spam.example/x", True),        # userinfo skipped, not host
+    ("http://u:p@www.spam.example/x", True),
+    ("http://spam.example@ok.example/x", False),  # blocked name in USERINFO
+    # only — real host is ok.example, must pass
     ("http://notspam.example/x", False),      # suffix of the NAME, not a
     ("http://spam.example.org/x", False),     # subdomain / different tld
     ("https://ads.example/x", True),          # blocklist entry lowercased
