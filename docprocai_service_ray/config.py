@@ -49,6 +49,12 @@ class KGConfig:
                                      # the broadcast winners map is replaced by a
                                      # distributed left hash-join filter (the driver
                                      # never holds the winners; stages/extract.py)
+    streaming_fused_max_bytes: int = 32 << 30  # input-bytes estimate above which
+                                     # STREAMING-mode fused link extraction refuses
+                                     # to materialize the docs-sized fused table in
+                                     # the object store (it would spill at scale)
+                                     # and raises pointing at out_dir — the
+                                     # checkpointed mode writes Parquet instead
     emap_broadcast_max_bytes: int = 64 << 20  # entity-map byte estimate above which
                                      # triple canonicalization switches from the
                                      # driver-dict broadcast to canonicalize_via_join

@@ -42,7 +42,7 @@ def _pq(sf_dir: str, table: str, columns: list[str] | None = None):
 
 
 def _grouped_final(partials, keys: list[str], agg: dict, post=None,
-                   num_partitions: int = 16):
+                   num_partitions: int | None = None):
     """Vectorized final merge of per-batch partial aggregates: one pandas
     groupby.agg per hash partition (state/groupby.partition_reduce) instead
     of one Python call per key. ``agg``: out_col -> (in_col, fn);

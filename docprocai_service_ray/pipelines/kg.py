@@ -322,9 +322,20 @@ def run_kg(
                 url_links_from_docs,
             )
 
-            docs_all = extract_docs(
-                read_web_pages(pages_path), cfg, emit_links=True
-            ).materialize()
+            pages = read_web_pages(pages_path)
+            from ..state.joins import _meta_size_bytes
+
+            est = _meta_size_bytes(pages)
+            if est is not None and est > cfg.streaming_fused_max_bytes:
+                raise ValueError(
+                    f"streaming-mode fused link graph would materialize a "
+                    f"~{est >> 30} GiB docs-sized table in the object store "
+                    f"(> cfg.streaming_fused_max_bytes="
+                    f"{cfg.streaming_fused_max_bytes >> 30} GiB) and spill; "
+                    f"pass out_dir=... to run the checkpointed mode, which "
+                    f"tees the fused table through Parquet instead"
+                )
+            docs_all = extract_docs(pages, cfg, emit_links=True).materialize()
             docs = drop_empty(
                 dedup_urls(docs_all.select_columns(list(DOCS_SCHEMA.names)), cfg)
             )

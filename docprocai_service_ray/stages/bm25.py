@@ -34,7 +34,7 @@ _TOKEN_RE = r"[a-z]+"
 
 def bm25_topk(ds, id_col: str, text_col: str, query_terms: list[str], *,
               k: int = 10, k1: float = 1.2, b: float = 0.75,
-              num_partitions: int = 8, round_to: int = 6):
+              num_partitions: int | None = None, round_to: int = 6):
     """Top-k (id, score) rows for a bag-of-words query."""
     terms = sorted(set(t.lower() for t in query_terms))
 

@@ -47,7 +47,7 @@ def _doc_token_lists(texts: pd.Series) -> pd.Series:
 
 def cooccurrence_pmi(ds, id_col: str, text_col: str, *,
                      min_pair_count: int = 2, max_df: int | None = None,
-                     num_partitions: int = 16, round_to: int = 6,
+                     num_partitions: int | None = None, round_to: int = 6,
                      broadcast_max_bytes: int | None = None):
     """Per-pair (w1, w2, pair_n, pmi) table over ``ds`` — see module doc.
     Returns a Dataset with w1 < w2 lexicographically."""

@@ -77,7 +77,7 @@ def _bench_gram_partials(bench_ds, text_col: str, n: int):
 def ngram_decontaminate(docs_ds, bench_ds, id_col: str, text_col: str,
                         group_col: str, *, n: int = 5,
                         bench_broadcast_max: int = 20_000_000,
-                        num_partitions: int = 8, round_to: int = 6,
+                        num_partitions: int | None = None, round_to: int = 6,
                         force_tier: str | None = None):
     """Per-``group_col`` contamination stats of ``docs_ds`` against
     ``bench_ds``: ``n_docs``, ``contaminated_docs`` (≥1 gram shared with

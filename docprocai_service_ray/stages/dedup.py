@@ -182,7 +182,7 @@ def minhash_lsh_pairs(
     from ..state.groupby import distinct_rows, partition_reduce
 
     pairs = distinct_rows(
-        partition_reduce(banded, ["band"], pairs_partition, num_partitions=32),
+        partition_reduce(banded, ["band"], pairs_partition, num_partitions=None),
         ["id_a", "id_b"],
     ).materialize()
     n_pairs = pairs.count()  # metadata-only: materialized
@@ -398,7 +398,7 @@ def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3):
             sigs.map_batches(explode, batch_format="pyarrow"),
             ["key"],
             pairs_partition,
-            num_partitions=32,
+            num_partitions=None,  # auto-size
         ),
         ["id_a", "id_b"],
     )
@@ -422,7 +422,7 @@ def _lev_le1(a: str, b: str) -> int | None:
     return 1 if a[i:] == b[i + 1:] else None
 
 
-def fuzzy_pairs(ds, text_col: str, *, num_partitions: int = 32):
+def fuzzy_pairs(ds, text_col: str, *, num_partitions: int | None = None):
     """Edit-distance-≤1 string pairs via deletion-neighborhood blocking
     (the SymSpell family — Garbe's symmetric-delete scheme): every string
     emits itself plus its ``len`` one-deletion variants as block keys. Two
@@ -620,7 +620,7 @@ def probe_dedup_index(new_ds, index_dir: str, id_col: str, text_col: str, *,
 def minhash_threshold_profile(ds, id_col: str, text_col: str, *,
                               shingle_words: int = 5, num_perms: int = 64,
                               band_configs: tuple = (4, 8, 16, 32),
-                              seed: int = 42, num_partitions: int = 32):
+                              seed: int = 42, num_partitions: int | None = None):
     """Dedup-threshold tuning profile — how many candidate pairs each LSH
     banding of the SAME signature set would enumerate. Signatures are the
     expensive part (full shingling pass over the corpus); this computes

@@ -80,7 +80,7 @@ def _hll_estimate(regs: np.ndarray) -> int:
     return int(round(est))
 
 
-def grouped_distinct(ds, by: str, value_col: str, *, num_partitions: int = 16):
+def grouped_distinct(ds, by: str, value_col: str, *, num_partitions: int | None = None):
     """→ (by, n_distinct) EXACT. Per-batch local dedup defuses in-batch
     repetition before the single hash exchange."""
     from ..state.groupby import partition_reduce
@@ -99,7 +99,7 @@ def grouped_distinct(ds, by: str, value_col: str, *, num_partitions: int = 16):
 
 
 def grouped_distinct_sketch(ds, by: str, value_col: str, *, precision: int = 12,
-                            num_partitions: int = 16):
+                            num_partitions: int | None = None):
     """→ (by, n_distinct) approximate (±1.04/√2^p). Registers shuffle,
     values never do."""
     from ..state.groupby import partition_reduce
@@ -137,7 +137,7 @@ def grouped_distinct_sketch(ds, by: str, value_col: str, *, precision: int = 12,
 
 def grouped_distinct_auto(ds, by: str, value_col: str, *,
                           exact_max_bytes: int = 512 << 20,
-                          precision: int = 12, num_partitions: int = 16):
+                          precision: int = 12, num_partitions: int | None = None):
     """Exact while the metadata-only size estimate says groups co-locate
     comfortably; HLL above."""
     from ..state.joins import _meta_size_bytes

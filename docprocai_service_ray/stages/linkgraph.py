@@ -227,7 +227,7 @@ def url_host_links(pages, *, url_col: str = "url", html_col: str = "html"):
     return pages.map_batches(per_batch, batch_format="pandas")
 
 
-def host_edges_from_url_links(url_links, *, num_partitions: int = 32):
+def host_edges_from_url_links(url_links, *, num_partitions: int | None = None):
     """(src_host, dst_host, n_links) from the per-url partials — one
     grouped sum (hub hosts concentrate counts, never rows)."""
 
@@ -252,7 +252,7 @@ def host_edges_from_url_links(url_links, *, num_partitions: int = 32):
 
 
 def host_link_edges(pages, *, url_col: str = "url", html_col: str = "html",
-                    num_partitions: int = 32):
+                    num_partitions: int | None = None):
     """Cross-host (src_host, dst_host, n_links) edge table — the host-level
     web graph. Same-host links (nav/self) are dropped; counts are exact."""
     return host_edges_from_url_links(
@@ -279,7 +279,7 @@ def top_linked_hosts(pages, k: int = 10, **kwargs):
 
     ranked = partition_reduce(
         edges.map_batches(partial, batch_format="pandas"),
-        ["dst_host"], final, num_partitions=8,
+        ["dst_host"], final, num_partitions=None,  # auto: host-cardinality key
     )
     return (
         ranked.sort(["in_links", "dst_host"], descending=[True, False])
@@ -392,7 +392,7 @@ _TERM_RE = re.compile(r"[a-z0-9]+")
 
 
 def anchor_text_terms(pages, *, url_col: str = "url", html_col: str = "html",
-                      num_partitions: int = 16):
+                      num_partitions: int | None = None):
     """Anchor-text index: (dst_host, term, n) — what the web SAYS about
     each host (anchor text is the classic external description signal for
     entity/host profiling; the KG-side analog of alias surfaces). Only

@@ -68,7 +68,7 @@ def _vocab_size(ds, text_col: str, num_partitions: int) -> int:
 
 
 def bigram_lm_bits(ds, id_col: str, text_col: str, group_col: str, *,
-                   k: float = 1.0, num_partitions: int = 16):
+                   k: float = 1.0, num_partitions: int | None = None):
     """Per-group (n_docs, avg_bits) under the corpus's own smoothed
     bigram LM — low bits = predictable/templated text, high bits =
     unusual text; both tails are what CCNet-style curation inspects."""

@@ -25,7 +25,7 @@ import ray
 
 def pack_spans(ds, id_col: str, text_col: str, budget: int, *,
                num_buckets: int = 64, id_max: int | None = None,
-               num_partitions: int = 16):
+               num_partitions: int | None = None):
     """Per-doc packed-sequence spans: ``start_seq = floor(prefix/budget)``,
     ``end_seq = floor((prefix + n_tokens - 1)/budget)`` over the corpus
     concatenated in ascending ``id_col`` order. Zero-token docs occupy no

@@ -38,7 +38,7 @@ _COMPILED = {k: re.compile(v) for k, v in PII_PATTERNS.items()}
 
 def pii_stats(docs_ds, text_col: str, group_col: str, *,
               patterns: dict[str, str] = PII_PATTERNS,
-              num_partitions: int = 8):
+              num_partitions: int | None = None):
     """Per-``group_col`` PII counts: ``n_docs``, ``pii_docs`` (≥1 hit of
     any class) and ``<class>_hits`` totals per pattern class."""
     from ..state.groupby import partition_reduce

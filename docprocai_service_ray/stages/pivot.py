@@ -25,7 +25,7 @@ from ..state.groupby import collect_pandas, distinct_rows, partition_reduce
 def pivot_table(ds, index_cols: list[str], pivot_col: str,
                 val_col: str | None = None, *, agg: str = "count",
                 categories: list | None = None, col_prefix: str = "",
-                num_partitions: int = 8, round_to: int | None = 2):
+                num_partitions: int | None = None, round_to: int | None = 2):
     """One row per ``index_cols``, one ``{col_prefix}{category}`` column
     per distinct ``pivot_col`` value; cells are COUNT(*) (``agg='count'``)
     or SUM(val_col) (``agg='sum'``) over matching rows, 0 where absent.

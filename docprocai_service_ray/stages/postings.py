@@ -50,7 +50,7 @@ def _doc_tokens(df: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
 def build_postings(ds, id_col: str, text_col: str, *, min_df: int = 1,
                    max_df: int | None = None,
                    max_postings: int | None = None,
-                   num_partitions: int = 16):
+                   num_partitions: int | None = None):
     """Inverted index over ``ds``: one row per surviving token with
     ``(token, df, postings)`` where ``postings`` is the sorted (and
     optionally ``max_postings``-truncated) list of containing doc ids.

@@ -32,7 +32,7 @@ import pandas as pd
 
 
 def grouped_quantiles(ds, by: str, value_col: str, qs: list[float], *,
-                      num_partitions: int = 16, round_to: int = 6):
+                      num_partitions: int | None = None, round_to: int = 6):
     """→ one row per group: (by, q_<pct> ... ) exact quantiles."""
     from ..state.groupby import partition_reduce
 
@@ -79,7 +79,7 @@ def _sketch_quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
 
 
 def grouped_quantiles_sketch(ds, by: str, value_col: str, qs: list[float], *,
-                             delta: int = 512, num_partitions: int = 16,
+                             delta: int = 512, num_partitions: int | None = None,
                              round_to: int = 6):
     """→ one row per group: (by, n, q_<pct>...) approximate quantiles with
     ~2/delta rank error; ``n`` exact. Shuffles only O(groups × delta)
@@ -124,7 +124,7 @@ def grouped_quantiles_sketch(ds, by: str, value_col: str, qs: list[float], *,
 
 def grouped_quantiles_auto(ds, by: str, value_col: str, qs: list[float], *,
                            exact_max_bytes: int = 512 << 20,
-                           num_partitions: int = 16, delta: int = 512,
+                           num_partitions: int | None = None, delta: int = 512,
                            round_to: int = 6):
     """Tier gate: exact (oracle-grade) while the dataset's metadata-only
     byte estimate says every group can comfortably co-locate; the
@@ -152,7 +152,7 @@ def quantile_sql(table: str, by: str, value_col: str, qs: list[float],
 
 
 def grouped_quantiles_disc(ds, by: str, value_col: str, qs: list[float], *,
-                           num_partitions: int = 16, round_to: int = 6):
+                           num_partitions: int | None = None, round_to: int = 6):
     """Discrete grouped quantiles: the smallest group VALUE whose rank
     covers q (DuckDB ``quantile_disc`` / SQL PERCENTILE_DISC) — always an
     actual data point, never interpolated. Same co-location contract as
@@ -196,7 +196,7 @@ def quantile_disc_sql(table: str, by: str, value_col: str, qs: list[float],
 
 
 def fixed_histogram(ds, value_col: str, lo: float, hi: float, bins: int, *,
-                    by: str | None = None, num_partitions: int = 4):
+                    by: str | None = None, num_partitions: int | None = None):
     """Equi-width histogram over [lo, hi): per-batch ``np.bincount``
     partials are EXACTLY mergeable integers, so one tiny grouped sum
     finishes it — the single-pass distribution scan that pairs with

@@ -203,7 +203,7 @@ def _shuffle_keys(keys: pd.Series, seed: int) -> pd.Series:
 
 
 def shard_shuffle(ds, id_col: str, n_shards: int, *, seed: int = 42,
-                  num_buckets: int = 256, num_partitions: int = 16):
+                  num_buckets: int = 256, num_partitions: int | None = None):
     """Deterministic global shuffle into training shards: every row gets
     ``(shard, pos)`` — a pseudo-random permutation of the corpus laid out
     as ``n_shards`` equal-ish streams, the data-ordering step a trainer
@@ -292,7 +292,7 @@ def shard_shuffle_sql(table: str, id_col: str, n_shards: int, *,
 
 
 def sample_k_per_group(ds, key_col: str, group_col: str, k: int, *,
-                       seed: int = 42, num_partitions: int = 8):
+                       seed: int = 42, num_partitions: int | None = None):
     """EXACTLY min(k, |group|) rows per group, chosen by a deterministic
     content-hash order — the bounded per-stratum sample (k eval docs per
     language, k pages per host for human review) that ``stratified_sample``'s

@@ -271,7 +271,7 @@ def ivf_topk(ds, query: np.ndarray, k: int, *, dim: int, n_lists: int = 64,
 
 
 def label_centroids(ds, label_col: str, vec_col: str, dim: int, *,
-                    num_partitions: int = 8, round_to: int = 6):
+                    num_partitions: int | None = None, round_to: int = 6):
     """Per-label embedding centroid in long form (label, dim, avg_v) —
     the grouped VECTOR aggregate (class prototypes / cluster centers for
     IVF seeding or nearest-class-mean labeling). Per-batch partial = one
@@ -322,7 +322,7 @@ def label_centroids(ds, label_col: str, vec_col: str, dim: int, *,
 
 
 def centroid_distance_stats(ds, label_col: str, vec_col: str, dim: int, *,
-                            num_partitions: int = 8, round_to: int = 6,
+                            num_partitions: int | None = None, round_to: int = 6,
                             max_labels: int = 100_000):
     """Per-label embedding outlier diagnostics: distance of every vector
     to its own label's centroid, reduced to (label, n_vecs, avg_dist,
@@ -421,7 +421,7 @@ _KMEANS_SCALE = float(1 << 32)  # fixed-point quantum for deterministic sums
 
 
 def kmeans(ds, id_col: str, vec_col: str, dim: int, k: int, *,
-           iters: int = 10, seed: int = 42, num_partitions: int = 8,
+           iters: int = 10, seed: int = 42, num_partitions: int | None = None,
            driver_max_bytes: int = 128 << 20):
     """Distributed Lloyd's k-means with BIT-DETERMINISTIC updates.
 
@@ -625,7 +625,7 @@ def kmeans_cluster_sizes(ds, id_col: str, vec_col: str, dim: int, k: int, *,
 
 def semantic_dedup(ds, id_col: str, vec_col: str, dim: int, k: int, *,
                    threshold: float = 0.4, iters: int = 10, seed: int = 42,
-                   num_partitions: int = 8, max_cluster_rows: int = 200_000):
+                   num_partitions: int | None = None, max_cluster_rows: int = 200_000):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication"): k-means-cluster the embedding space, then mark

@@ -42,7 +42,7 @@ from .decontam import _gram_hashes
 
 
 def dup_gram_stats(docs_ds, id_col: str, text_col: str, group_col: str, *,
-                   n: int = 5, min_docs: int = 2, num_partitions: int = 8,
+                   n: int = 5, min_docs: int = 2, num_partitions: int | None = None,
                    round_to: int = 6, hot_gram_ceiling: int | None = None):
     """Per-``group_col`` duplicate-gram stats of ``docs_ds`` against
     itself: ``n_docs``, ``dup_docs``, ``avg_dup_frac`` (see module doc).

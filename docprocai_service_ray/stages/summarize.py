@@ -34,7 +34,7 @@ from ..state.joins import hash_join
 
 def build_doc_summaries(sentences_ds, triples_raw_ds, cfg: KGConfig, *,
                         summary_k: int = 2, tags_k: int = 3,
-                        num_partitions: int = 32):
+                        num_partitions: int | None = None):
     """→ Dataset (url, summary, top_entities, n_triples), one row per url
     with at least one triple."""
 

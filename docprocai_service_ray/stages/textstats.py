@@ -127,7 +127,7 @@ def add_text_stats(ds, text_col: str = "text"):
 
 
 def token_doc_frequency(ds, id_col: str, text_col: str, *, min_df: int = 1,
-                        num_partitions: int = 16):
+                        num_partitions: int | None = None):
     """Inverted-index statistics: document frequency per token (the
     vocabulary/df side of a postings build — the full postings list is the
     same plan with a collect instead of a count).
@@ -161,7 +161,7 @@ _SENT_SPLIT_RE = re.compile(r"\.\s+")
 
 
 def boilerplate_stats(ds, id_col: str, text_col: str, group_col: str, *,
-                      min_chars: int = 20, num_partitions: int = 16):
+                      min_chars: int = 20, num_partitions: int | None = None):
     """Cross-document duplicated-sentence ratio per group — template /
     boilerplate detection (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better", substring-dup family at sentence
@@ -261,7 +261,7 @@ def boilerplate_sql(table: str, id_col: str, text_col: str, group_col: str,
 
 
 def grouped_corr(ds, by: str, x_col: str, y_col: str, *,
-                 num_partitions: int = 8, round_to: int = 6):
+                 num_partitions: int | None = None, round_to: int = 6):
     """Per-group Pearson correlation + OLS slope from SUFFICIENT
     STATISTICS: each batch contributes (n, Σx, Σy, Σx², Σy², Σxy) — six
     numbers per (group, batch) cross the exchange, never rows. The
@@ -309,7 +309,7 @@ def corr_sql(table: str, by: str, x_col: str, y_col: str,
     """
 
 
-def profile_table(ds, columns: list[str], *, num_partitions: int = 8):
+def profile_table(ds, columns: list[str], *, num_partitions: int | None = None):
     """Data-quality profile: one row per column with (n_rows, n_nulls,
     n_distinct, min_v, max_v) — the ingest-time sanity scan a pipeline
     runs before training on a new table. Values are compared as strings
@@ -390,7 +390,7 @@ def profile_sql(table: str, columns: list[str],
 
 
 def repetition_stats(ds, id_col: str, text_col: str, group_col: str, *,
-                     flag_threshold: float = 0.5, num_partitions: int = 4,
+                     flag_threshold: float = 0.5, num_partitions: int | None = None,
                      round_to: int = 6):
     """Gopher-style within-document repetition filters (Rae et al. 2021
     §A1.1, "Scaling Language Models: ... Gopher", repetition family):
@@ -474,7 +474,7 @@ def repetition_sql(table: str, id_col: str, text_col: str, group_col: str,
 
 
 def unigram_logprob_stats(ds, id_col: str, text_col: str, group_col: str, *,
-                          num_partitions: int = 16, round_to: int = 6):
+                          num_partitions: int | None = None, round_to: int = 6):
     """Corpus-self unigram cross-entropy per group — the model-free analog
     of CCNet-style perplexity filtering (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data"):
@@ -591,7 +591,7 @@ def unigram_logprob_sql(table: str, id_col: str, text_col: str,
 
 
 def lang_mix_weights(ds, lang_col: str, text_col: str, *,
-                     round_to: int = 6, num_partitions: int = 4):
+                     round_to: int = 6, num_partitions: int | None = None):
     """Training-mix reweighting table: per language, its token share and
     the uniform-target sampling multiplier ``min(1, uniform_share /
     actual_share)`` — the static language-rebalancing step a pretraining
@@ -661,7 +661,7 @@ def lang_mix_sql(table: str, lang_col: str, text_col: str,
 
 def lang_mix_alpha_weights(ds, lang_col: str, text_col: str, *,
                            alpha: float = 0.3, round_to: int = 6,
-                           num_partitions: int = 4):
+                           num_partitions: int | None = None):
     """Temperature-based multilingual sampling weights — the exponent
     rule multilingual pretraining actually uses (Conneau et al. 2020
     XLM-R §3.1, mBERT's exponent smoothing): sample language i with

@@ -32,7 +32,7 @@ import pandas as pd
 
 
 def doc_top_terms(ds, id_col: str, text_col: str, k: int = 3, *,
-                  min_df: int = 1, num_partitions: int = 16):
+                  min_df: int = 1, num_partitions: int | None = None):
     """→ (id_col, term, tf, rank): top-k terms per document by tf·idf."""
     from ..state.groupby import partition_reduce
     from ..state.joins import hash_join

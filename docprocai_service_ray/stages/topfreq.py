@@ -50,7 +50,7 @@ def _rank_topn(part: pd.DataFrame, by: str, value_col: str, n: int,
 
 
 def grouped_topn_values(ds, by: str, value_col: str, n: int, *,
-                        num_partitions: int = 16):
+                        num_partitions: int | None = None):
     """→ (by, value_col, cnt, rank) EXACT, rank 1..n per group by
     (count desc, value asc)."""
     from ..state.groupby import partition_reduce
@@ -67,7 +67,7 @@ def grouped_topn_values(ds, by: str, value_col: str, n: int, *,
 
 
 def grouped_topn_sketch(ds, by: str, value_col: str, n: int, *,
-                        capacity: int = 256, num_partitions: int = 16):
+                        capacity: int = 256, num_partitions: int | None = None):
     """→ (by, value_col, cnt, rank) approximate: cnt is a LOWER bound
     undercounting by at most N_g/(capacity+1); any value more frequent
     than that is guaranteed present. capacity bounds the per-(batch, group)
@@ -97,7 +97,7 @@ def grouped_topn_sketch(ds, by: str, value_col: str, n: int, *,
 
 def grouped_topn_auto(ds, by: str, value_col: str, n: int, *,
                       exact_max_bytes: int = 512 << 20, capacity: int = 256,
-                      num_partitions: int = 16):
+                      num_partitions: int | None = None):
     """Exact while the metadata-only size estimate says per-group count
     tables co-locate comfortably; Misra-Gries above."""
     from ..state.joins import _meta_size_bytes

@@ -33,7 +33,7 @@ def cluster_topic_terms(docs_ds, emb_ds, *, doc_id_col: str = "doc_id",
                         text_col: str = "text", emb_col: str = "embedding",
                         dim: int, k: int = 8, top_n: int = 5,
                         iters: int = 10, seed: int = 42,
-                        num_partitions: int = 8, round_to: int = 6):
+                        num_partitions: int | None = None, round_to: int = 6):
     """(cluster, rank, term, score) — ``top_n`` rows per kmeans cluster,
     (score DESC, term ASC) ranked."""
     from ..state.groupby import partition_reduce

@@ -23,7 +23,7 @@ from ..state.groupby import partition_reduce
 
 
 def session_stats(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
-                  gap_minutes: int = 30, num_partitions: int = 32):
+                  gap_minutes: int = 30, num_partitions: int | None = None):
     """Per key: number of gap-based sessions and total events.
     Output columns: (key_col, n_sessions, n_events)."""
     gap = pd.Timedelta(minutes=gap_minutes)
@@ -78,7 +78,7 @@ def sliding_counts(events_ds, *, ts_col: str = "ts", key_col: str = "event_type"
         explode, batch_format="pandas"
     )
     return partition_reduce(partials, ["window_start", "key"], merge,
-                            num_partitions=16)
+                            num_partitions=None)  # auto-size
 
 
 # --------------------- SQL window-function / rollup analogs -----------------
@@ -100,7 +100,7 @@ def sliding_counts(events_ds, *, ts_col: str = "ts", key_col: str = "event_type"
 
 def grouped_topn_rows(ds, keys: list[str], order_col: str, n: int, *,
                       descending: bool = True, tiebreak: list[str] | None = None,
-                      num_partitions: int = 32, rank_col: str = "rn"):
+                      num_partitions: int | None = None, rank_col: str = "rn"):
     """Top-``n`` whole rows per group with their rank — the distributed
     ``QUALIFY ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order_col
     [DESC], tiebreak) <= n``. ``tiebreak`` must make the order total or
@@ -128,7 +128,7 @@ def grouped_topn_rows(ds, keys: list[str], order_col: str, n: int, *,
 
 def running_group_agg(ds, key_cols: list[str], order_cols: list[str],
                       val_col: str, out_col: str = "running_sum", *,
-                      num_partitions: int = 32, round_to: int | None = 2):
+                      num_partitions: int | None = None, round_to: int | None = 2):
     """Per-row running sum of ``val_col`` within each key group ordered by
     ``order_cols`` — ``SUM(val) OVER (PARTITION BY key ORDER BY order ROWS
     UNBOUNDED PRECEDING)``. ``order_cols`` must be a total order within
@@ -146,7 +146,7 @@ def running_group_agg(ds, key_cols: list[str], order_cols: list[str],
 
 
 def rollup_aggregate(ds, keys: list[str], val_col: str, *,
-                     total_label: str = "ALL", num_partitions: int = 16,
+                     total_label: str = "ALL", num_partitions: int | None = None,
                      sum_col: str = "total", count_col: str = "n",
                      round_to: int | None = 2):
     """Grouped sum+count at EVERY rollup level of ``keys`` (finest →
@@ -187,7 +187,7 @@ def rollup_aggregate(ds, keys: list[str], val_col: str, *,
 
 def sessionize(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
                id_col: str = "event_id", gap_minutes: int = 30,
-               num_partitions: int = 32):
+               num_partitions: int | None = None):
     """Row-level sessionization: every event tagged with its gap-based
     session ordinal (``session_seq``, 1-based per key) — the per-row
     companion to :func:`session_stats` (which only aggregates). Output is
@@ -215,7 +215,7 @@ def sessionize(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
 
 def cube_aggregate(ds, keys: list[str], val_col: str, *,
-                   total_label: str = "ALL", num_partitions: int = 16,
+                   total_label: str = "ALL", num_partitions: int | None = None,
                    sum_col: str = "total", count_col: str = "n",
                    round_to: int | None = 2):
     """Grouped sum+count at EVERY subset of ``keys`` (``GROUP BY CUBE``) in
@@ -256,7 +256,7 @@ def cube_aggregate(ds, keys: list[str], val_col: str, *,
 
 
 def grouped_ntile(ds, keys: list[str], order_col: str, n_tiles: int, *,
-                  tiebreak: list[str] | None = None, num_partitions: int = 32,
+                  tiebreak: list[str] | None = None, num_partitions: int | None = None,
                   tile_col: str = "tile"):
     """NTILE(n) OVER (PARTITION BY keys ORDER BY order_col, tiebreak):
     every row tagged with its n-quantile bucket (1-based, SQL NTILE fill

@@ -23,15 +23,35 @@ from typing import Callable
 import pandas as pd
 
 
+def resolve_num_partitions(ds, num_partitions: int | None) -> int:
+    """``None`` → auto-size from the metadata-only input-bytes estimate
+    (~64 MB per partition, state/joins.auto_buckets), so grouped exchanges
+    scale their fan-in with input volume exactly like hash_join sizes its
+    buckets. Explicit ints pass through untouched."""
+    if num_partitions is not None:
+        return num_partitions
+    from .joins import auto_buckets
+
+    return auto_buckets(ds, default=64)
+
+
 def partition_reduce(
     ds,
     key_cols: list[str],
     reduce_partition: Callable[[pd.DataFrame], pd.DataFrame],
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ):
     """Co-locate all rows sharing ``key_cols`` values and apply a vectorized
     per-partition reduce. ``reduce_partition`` sees every row of every key
-    hashed into its partition (the ``__part`` column is already dropped)."""
+    hashed into its partition (the ``__part`` column is already dropped).
+
+    ``num_partitions=None`` (the default) auto-sizes the fan-in from the
+    metadata-only input-bytes estimate, targeting ~64 MB per partition
+    (state/joins.auto_buckets — the same self-sizing hash_join uses), so a
+    100× corpus gets 100× reduce tasks instead of 100× task size. Pass an
+    explicit value only for inputs known to be small by construction
+    (vocab-sized partials, dimension tables)."""
+    num_partitions = resolve_num_partitions(ds, num_partitions)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -52,9 +72,10 @@ def partition_reduce(
     )
 
 
-def distinct_rows(ds, key_cols: list[str], num_partitions: int = 64):
+def distinct_rows(ds, key_cols: list[str], num_partitions: int | None = None):
     """Distinct rows by ``key_cols`` (vectorized drop_duplicates per
-    partition; deterministic keep=first after a sort on the keys)."""
+    partition; deterministic keep=first after a sort on the keys).
+    ``num_partitions=None`` auto-sizes like :func:`partition_reduce`."""
 
     def reduce(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(key_cols).drop_duplicates(key_cols, keep="first")
