@@ -643,6 +643,52 @@ def _curated_corpus_stats(sf_dir: str):
     return curated_corpus_stats(sf_dir)
 
 
+def _release_planted_docs(sf_dir: str):
+    """Documents table + deterministic planted rows exercising every
+    release stage: 8 blocklisted docs (pass the gopher gate, carry the
+    'xblocked' marker — only the blockword stage can drop them), 6
+    PII-bearing docs (pass every gate, scrub must rewrite them), 2 docs
+    under min_words (gopher R1 must drop them). The stages/pii.py
+    planting pattern, shared by the golden and the tests."""
+    import pandas as pd
+    import ray.data as rd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+
+    base = _pq(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    # ≥3-char mean word length (gopher R2) — short w0-style fillers fail it
+    filler = " ".join(f"word{j:02d}" for j in range(30))
+    rows = []
+    for i in range(8):
+        rows.append({"doc_id": 1_000_000 + i, "lang": "en",
+                     "source": "planted",
+                     "text": f"doc {i} xblocked content {filler} tail{i}"})
+    for i in range(6):
+        rows.append({"doc_id": 1_000_100 + i, "lang": "de",
+                     "source": "planted",
+                     "text": (f"doc {i} mail p{i}@example.com host 10.0."
+                              f"{i}.1 {filler} tail{i}")})
+    for i in range(2):
+        rows.append({"doc_id": 1_000_200 + i, "lang": "en",
+                     "source": "planted", "text": f"too short {i}"})
+    return base.union(rd.from_pandas(pd.DataFrame(rows)))
+
+
+def _released_corpus_stats(sf_dir: str):
+    """Flagship end-to-end curation RELEASE flow (pipelines/curate.
+    release_documents, VERDICT r4 #5): gopher gate → blockword gate →
+    C4 line dedup (rewrite) → MinHash keep-best + leakage-safe split
+    over ONE shared pair graph → PII scrub, rolled up per (lang, split).
+    Golden-frozen (the LSH cluster closure is approximate-by-design and
+    not SQL-expressible); each link of the chain is independently
+    SQL-oracled or brute-verified, and the composition's drop/scrub/
+    no-straddle properties are asserted in tests/test_curate.py."""
+    from docprocai_service_ray.pipelines.curate import released_corpus_stats
+
+    return released_corpus_stats(None, docs=_release_planted_docs(sf_dir),
+                                 cfg=_CFG)
+
+
 def _top_users_by_type(sf_dir: str):
     """Per-event-type top-3 most-active users (grouped heavy hitters,
     EXACT tier: per-batch count partials → one hash exchange → rank;
@@ -1890,6 +1936,10 @@ _GOLDEN_QUERIES = [
     # cluster-unit split over the approximate LSH pair graph — golden
     # pins the deterministic assignment; no-straddle property tested
     "leakage_safe_split_docs",
+    # end-to-end release chain (r5): contains the LSH closure — golden
+    # pins the composed per-(lang, split) rollup; chain properties
+    # (drops, scrub, no-straddle) asserted in tests/test_curate.py
+    "released_corpus_stats",
 ]
 
 
@@ -1959,6 +2009,8 @@ _PRIORITY_QUERIES = [
     "domain_scorecard",
     "gopher_rules_by_source",
     "lang_mix_alpha",
+    # new in r5 — no recorded row yet by construction
+    "released_corpus_stats",
 ]
 
 
@@ -2046,6 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "corpus_diff_docs": _corpus_diff_docs,
             "leakage_safe_split_docs": _leakage_safe_split_docs,
             "normalized_text_docs": _normalized_text_docs,
+            "released_corpus_stats": _released_corpus_stats,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}

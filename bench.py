@@ -87,6 +87,9 @@ QUERY_NAMES = [
     "bm25_search_docs",
     "domain_doc_counts",
     "quality_classifier_history",
+    # r5: the composed end-to-end curation release (gopher → blockwords →
+    # line dedup → keep-best + leakage split on one pair graph → pii)
+    "released_corpus_stats",
 ]
 
 

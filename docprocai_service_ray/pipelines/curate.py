@@ -47,7 +47,7 @@ DEFAULT_SAMPLE_RATE = 0.5
 def curate_documents(sf_dir: str, *, langs=DEFAULT_LANGS,
                      min_quality: float = DEFAULT_MIN_QUALITY,
                      sample_rate: float = DEFAULT_SAMPLE_RATE,
-                     seed: int = 42, num_partitions: int = 16):
+                     seed: int = 42, num_partitions: int | None = None):
     """→ Dataset(doc_id, lang, tok, quality): the curated keep-set."""
     from ..state.groupby import partition_reduce
 
@@ -152,3 +152,159 @@ def curation_sql(langs=DEFAULT_LANGS, min_quality: float = DEFAULT_MIN_QUALITY,
         SELECT lang, COUNT(*) AS n_docs, SUM(tok)::BIGINT AS n_tokens
         FROM s GROUP BY lang
     """
+
+
+# --------------------------------------------------------------------------
+# Full release flow (VERDICT r4 #5): the flagship 100-TB user journey as
+# ONE composed recipe instead of separate ops.
+# --------------------------------------------------------------------------
+
+# the synthetic corpus vocabulary is dense (every real token appears in
+# ~75%+ of docs), so the demo blocklist is a PLANTED marker — queries and
+# tests union a few marker docs in (the stages/pii.py planting pattern);
+# real runs pass their own list
+DEFAULT_RELEASE_BLOCKWORDS = ("xblocked",)
+
+
+def release_documents(sf_dir: str | None, *, docs=None,
+                      blockwords=DEFAULT_RELEASE_BLOCKWORDS,
+                      min_words: int = 20, stop_min: int = 0,
+                      nd_threshold: float = 0.9,
+                      residual_min_words: int = 5,
+                      holdout_rate: float = 0.2, seed: int = 42,
+                      cfg=None, num_partitions: int | None = None):
+    """The end-to-end curation RELEASE flow over the documents table —
+    the chain an open-data corpus release actually runs (C4 §2.2 /
+    Gopher A1 / RefinedWeb §3, composed):
+
+        gopher gate → blockword gate → line dedup (rewrite) →
+        minhash keep-best + leakage-safe split (shared pair graph) →
+        pii scrub
+
+    Returns Dataset(doc_id, lang, source, text, n_tokens, split) — the
+    released corpus with scrubbed, line-deduped text, every doc tagged
+    train/holdout by its near-dup-cluster unit. Stage order is
+    load-bearing: cheap per-batch gates FIRST (losers never shingle),
+    the line rewrite BEFORE near-dup closure (boilerplate lines would
+    otherwise glue unrelated docs into clusters), the scrub LAST (it
+    must not perturb dedup shingles). Every exchange in the chain is the
+    already-audited one inside its stage (hashes / cluster labels, never
+    text beyond the line-dedup join-back)."""
+    from ..stages.gopher import gopher_filter
+    from ..stages.keepbest import keep_best_and_split
+    from ..stages.lexgate import blockword_filter
+    from ..stages.linededup import line_dedup
+    from ..stages.pii import pii_scrub
+    from ..state.joins import hash_join
+
+    if docs is None:
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang", "source"],
+        )
+    # gate calibration for the synthetic corpus: min_words=20 (short docs
+    # exercise both sides of R1, same as the gopher_rules_by_source query)
+    # and stop_min=0 (word-soup text has no English stop words — R7 at
+    # its Gopher default would empty the corpus; real runs pass 2)
+    gated = gopher_filter(docs, "text", min_words=min_words,
+                          stop_min=stop_min)
+    clean = blockword_filter(gated, "text", list(blockwords))
+    deduped_lines = line_dedup(clean, "doc_id", "text",
+                               num_partitions=num_partitions).drop_columns(
+        ["n_lines", "n_kept"])
+
+    # residual gate: a doc whose text line dedup mostly emptied (e.g. the
+    # loser of a whole-doc duplicate — every line was a corpus duplicate)
+    # is a husk, not a document; C4-style releases drop it here rather
+    # than publish empty rows. Pure map.
+    def residual(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df[token_counts(df["text"]) >= residual_min_words]
+
+    rewritten = deduped_lines.map_batches(
+        residual, batch_format="pandas"
+    ).materialize()  # tee: kbs + join-back reuse it
+    kbs = keep_best_and_split(
+        rewritten, "doc_id", "text", threshold=nd_threshold,
+        holdout_rate=holdout_rate, seed=seed, cfg=cfg,
+        num_partitions=num_partitions)
+
+    def keepers(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[df["keep"]] if len(df) else df
+        cols = ["doc_id", "split"]
+        if not len(k):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "split": pd.Series([], dtype=object)})
+        return k[cols]
+
+    kept = hash_join(rewritten,
+                     kbs.map_batches(keepers, batch_format="pandas"),
+                     on="doc_id")
+    scrubbed = pii_scrub(kept, "text")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype=object),
+                "source": pd.Series([], dtype=object),
+                "text": pd.Series([], dtype=object),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "split": pd.Series([], dtype=object)})
+        out = df[["doc_id", "lang", "source", "text", "split"]].copy()
+        out["n_tokens"] = token_counts(df["text"])
+        return out[["doc_id", "lang", "source", "text", "n_tokens", "split"]]
+
+    return scrubbed.map_batches(finish, batch_format="pandas")
+
+
+def release(sf_dir: str | None, out_dir: str, *, gzip_shards: bool = True,
+            **kwargs) -> dict:
+    """Run :func:`release_documents` and PUBLISH it: one content-addressed
+    JSONL export per split (``<out_dir>/train``, ``<out_dir>/holdout``,
+    sources/export layout with sha256 manifests). Returns
+    {split: manifest DataFrame}."""
+    from ..sources.export import export_jsonl
+
+    released = release_documents(sf_dir, **kwargs).materialize()
+    manifests = {}
+    for split in ("train", "holdout"):
+        part = released.map_batches(
+            lambda df, s=split: df[df["split"] == s] if len(df) else df,
+            batch_format="pandas")
+        manifests[split] = export_jsonl(
+            part, os.path.join(out_dir, split),
+            columns=["doc_id", "lang", "source", "text", "n_tokens"],
+            gzip_shards=gzip_shards, sort_within_shard="doc_id")
+    return manifests
+
+
+def released_corpus_stats(sf_dir: str | None, **kwargs):
+    """→ (lang, split, n_docs, n_tokens, avg_tokens): the shape of the
+    released corpus per language and side — the release's headline
+    scorecard (golden-frozen: the chain includes the LSH cluster closure,
+    which is approximate-by-design and not SQL-expressible; chain
+    properties are certified in tests/test_curate.py)."""
+    from ..state.groupby import partition_reduce
+
+    released = release_documents(sf_dir, **kwargs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "split": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64")})
+        return df.groupby(["lang", "split"], as_index=False).agg(
+            n=("doc_id", "size"), s=("n_tokens", "sum"))
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby(["lang", "split"], as_index=False).agg(
+            n_docs=("n", "sum"), n_tokens=("s", "sum"))
+        out["avg_tokens"] = (out["n_tokens"] / out["n_docs"]).round(6)
+        return out.astype({"n_docs": "int64", "n_tokens": "int64"})
+
+    return partition_reduce(
+        released.map_batches(partial, batch_format="pandas"),
+        ["lang", "split"], final, num_partitions=4)
