@@ -1956,6 +1956,12 @@ def _golden_sql() -> dict[str, str]:
 # (the check covers a prefix of the registry per round) — keep these FIRST
 # so every registered query accumulates at least one recorded comparison
 _PRIORITY_QUERIES = [
+    # NEVER driver-sampled in r1–r4 (CORRECTNESS_r0{1..4}.json union) —
+    # keep these three at the very front so the 50-query window reaches
+    # them; everything below already has a green recorded row
+    "gopher_rules_by_source",
+    "lang_mix_alpha",
+    "released_corpus_stats",
     "doc_summaries",
     "ann_indexed_topk",
     "media_frames",
@@ -2007,10 +2013,6 @@ _PRIORITY_QUERIES = [
     "ann_quantized_topk",
     "dedup_threshold_profile",
     "domain_scorecard",
-    "gopher_rules_by_source",
-    "lang_mix_alpha",
-    # new in r5 — no recorded row yet by construction
-    "released_corpus_stats",
 ]
 
 

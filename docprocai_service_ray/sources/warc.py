@@ -183,3 +183,104 @@ def write_warc(records, path: str, *, gzip_records: bool = False) -> None:
         out.write(gzip.compress(rec, mtime=0) if gzip_records else rec)
     with open(path, "wb") as f:
         f.write(out.getvalue())
+
+
+def export_warc(ds, out_dir: str, *, gzip_records: bool = True) -> "object":
+    """``web_pages``-schema Dataset → a DIRECTORY of WARC archives, one
+    per block, content-addressed names (sha256 of the archive bytes —
+    the sources/export.py discipline: idempotent re-export, crash leaves
+    only complete archives). The inverse of :func:`read_pages_warc`;
+    exists so WARC ingest can be exercised and benchmarked at corpus
+    scale without a real crawl.
+
+    Each task serializes its own block (records in block row order,
+    ``warc_ts`` rendered back to ISO-8601 ``Z``); only KB-sized manifest
+    rows return to the driver. Returns the manifest DataFrame
+    (file, n_records, n_bytes, sha256)."""
+    import hashlib
+    import os
+    import uuid
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_records else ".warc"
+
+    def write_archive(batch: pa.Table) -> "pa.Table":
+        man_schema = pa.schema([("file", pa.string()),
+                                ("n_records", pa.int64()),
+                                ("n_bytes", pa.int64()),
+                                ("sha256", pa.string())])
+        if batch.num_rows == 0:
+            return man_schema.empty_table()
+        out = io.BytesIO()
+        urls = batch["url"].to_pylist()
+        tss = batch["warc_ts"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        for url, ts, html, lang in zip(urls, tss, htmls, langs):
+            fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if ts.microsecond else "%Y-%m-%dT%H:%M:%SZ"
+            date = ts.strftime(fmt)  # µs preserved ⇒ lossless round-trip
+            payload = html or b""
+            lines = [
+                b"WARC/1.0",
+                b"WARC-Type: response",
+                b"WARC-Target-URI: " + url.encode(),
+                b"WARC-Date: " + date.encode(),
+            ]
+            if lang:
+                lines.append(b"WARC-Identified-Content-Language: "
+                             + lang.encode())
+            lines.append(b"Content-Length: " + str(len(payload)).encode())
+            rec = b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+            out.write(gzip.compress(rec, mtime=0) if gzip_records else rec)
+        data = out.getvalue()
+        sha = hashlib.sha256(data).hexdigest()
+        name = f"crawl-{sha[:16]}{ext}"
+        final = os.path.join(out_dir, name)
+        if not os.path.exists(final):
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, final)
+        return pa.table({"file": [name],
+                         "n_records": pa.array([batch.num_rows], pa.int64()),
+                         "n_bytes": pa.array([len(data)], pa.int64()),
+                         "sha256": [sha]}, schema=man_schema)
+
+    # batch_size=None ⇒ whole-block batches: ONE archive per block, so
+    # downstream parse parallelism == block count by construction
+    man = (ds.map_batches(write_archive, batch_format="pyarrow",
+                          batch_size=None)
+           .to_pandas())
+    # collapse duplicate-content archives exactly like export_jsonl
+    man = (man.groupby(["file", "sha256"], as_index=False)
+           .agg(n_records=("n_records", "first"), n_bytes=("n_bytes", "first"))
+           [["file", "n_records", "n_bytes", "sha256"]]
+           .sort_values("file").reset_index(drop=True))
+    return man
+
+
+def ensure_warc_corpus(n_pages: int, seed: int, dim: int = 64, *,
+                       n_archives: int = 128) -> str:
+    """Cached WARC rendering of the synthetic corpus: the parquet corpus
+    (webgen.ensure_corpus) re-serialized as ``n_archives`` gzip-per-record
+    archives — the Common-Crawl shape — so WARC ingest can be benchmarked
+    at corpus scale. Generation runs ONCE per (n_pages, seed, n_archives)
+    and is excluded from any timing (sibling ``.done`` marker)."""
+    import os
+
+    import ray.data as rd
+
+    from .webgen import ensure_corpus
+
+    corpus = ensure_corpus(n_pages, seed, dim)
+    out = f"{corpus.rstrip('/')}_warc{n_archives}"
+    marker = out + ".done"
+    if os.path.exists(marker):
+        return out
+    pages = rd.read_parquet(os.path.join(corpus, "web_pages"))
+    export_warc(pages.repartition(n_archives), out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

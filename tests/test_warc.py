@@ -135,3 +135,73 @@ class TestWarcDrivesPipeline:
         via_warc = run(read_pages_warc(str(tmp_path / "p.warc.gz")))
         via_pq = run(rd.from_pandas(df))
         pd.testing.assert_frame_equal(via_warc, via_pq)
+
+
+class TestExportWarcRoundTrip:
+    """export_warc → read_pages_warc is lossless on the real corpus
+    shape, and the claimed parallelism (one parse task per archive) holds
+    by construction: one archive per input block, one read block per
+    archive file."""
+
+    def test_corpus_roundtrip_and_parallelism(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from docprocai_service_ray.sources.warc import (export_warc,
+                                                        read_pages_warc)
+        from docprocai_service_ray.sources.webgen import ensure_corpus
+
+        corpus = ensure_corpus(300, 42)
+        pages = rd.read_parquet(corpus + "/web_pages")
+        n_archives = 6
+        out = str(tmp_path / "crawl")
+        man = export_warc(pages.repartition(n_archives), out)
+        assert len(man) == n_archives            # one archive per block
+        assert int(man["n_records"].sum()) == 300
+
+        # parse unit = whole archive: every non-empty input block of the
+        # binary read holds exactly ONE file (an archive never splits
+        # across tasks), so parse parallelism == archive count
+        import ray as _ray
+
+        raw = rd.read_binary_files(out).materialize()
+        rows_per_block = []
+        for bundle in raw.iter_internal_ref_bundles():
+            for ref in bundle.block_refs:
+                rows_per_block.append(
+                    _ray.get(ref).num_rows
+                    if hasattr(_ray.get(ref), "num_rows")
+                    else len(_ray.get(ref)))
+        nonempty = [r for r in rows_per_block if r]
+        assert nonempty == [1] * n_archives
+
+        back = read_pages_warc(out).materialize()
+
+        # multiple captures per url exist — sort on (url, warc_ts)
+        a = (pages.to_pandas().sort_values(["url", "warc_ts"])
+             .reset_index(drop=True))
+        b = (back.to_pandas().sort_values(["url", "warc_ts"])
+             .reset_index(drop=True))
+        # lang '' and None both round-trip as "header absent" — normalize
+        a["lang"] = a["lang"].fillna("")
+        b["lang"] = b["lang"].fillna("")
+        for col in ("url", "warc_ts", "lang"):
+            assert a[col].tolist() == b[col].tolist(), col
+        assert [bytes(x or b"") for x in a["html"]] == \
+            [bytes(x or b"") for x in b["html"]]
+
+    def test_export_idempotent(self, tmp_path, ray_session):
+        import os
+
+        import ray.data as rd
+
+        from docprocai_service_ray.sources.warc import export_warc
+        from docprocai_service_ray.sources.webgen import ensure_corpus
+
+        corpus = ensure_corpus(300, 42)
+        pages = rd.read_parquet(corpus + "/web_pages").repartition(3)
+        out = str(tmp_path / "crawl")
+        m1 = export_warc(pages, out)
+        files1 = sorted(os.listdir(out))
+        m2 = export_warc(pages, out)
+        assert sorted(os.listdir(out)) == files1
+        assert m1["sha256"].tolist() == m2["sha256"].tolist()
