@@ -689,6 +689,22 @@ def _released_corpus_stats(sf_dir: str):
                                  cfg=_CFG)
 
 
+def _training_shards_stats(sf_dir: str):
+    """Training-shard publication (pipelines/curate.publish_training_
+    shards): released train-side docs → deterministic content-hash
+    shard_shuffle → ONE shard-keyed exchange packs each shard
+    independently in pos order (straddle-free GPT-style concatenation) →
+    per-shard (n_docs, n_tokens, n_seqs). The last mile of the curation
+    journey. Golden-frozen (chains the release flow's LSH closure);
+    the shuffle/pack kernels are REAL-SQL-oracled separately
+    (doc_shard_shuffle, packed_doc_spans); chain properties in
+    tests/test_curate.py."""
+    from docprocai_service_ray.pipelines.curate import training_shards_stats
+
+    return training_shards_stats(None, docs=_release_planted_docs(sf_dir),
+                                 seq_len=128, n_shards=4, cfg=_CFG)
+
+
 def _top_users_by_type(sf_dir: str):
     """Per-event-type top-3 most-active users (grouped heavy hitters,
     EXACT tier: per-batch count partials → one hash exchange → rank;
@@ -1940,6 +1956,7 @@ _GOLDEN_QUERIES = [
     # pins the composed per-(lang, split) rollup; chain properties
     # (drops, scrub, no-straddle) asserted in tests/test_curate.py
     "released_corpus_stats",
+    "training_shards_stats",
 ]
 
 
@@ -1962,6 +1979,7 @@ _PRIORITY_QUERIES = [
     "gopher_rules_by_source",
     "lang_mix_alpha",
     "released_corpus_stats",
+    "training_shards_stats",
     "doc_summaries",
     "ann_indexed_topk",
     "media_frames",
@@ -2101,6 +2119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "leakage_safe_split_docs": _leakage_safe_split_docs,
             "normalized_text_docs": _normalized_text_docs,
             "released_corpus_stats": _released_corpus_stats,
+            "training_shards_stats": _training_shards_stats,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}

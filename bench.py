@@ -88,8 +88,10 @@ QUERY_NAMES = [
     "domain_doc_counts",
     "quality_classifier_history",
     # r5: the composed end-to-end curation release (gopher → blockwords →
-    # line dedup → keep-best + leakage split on one pair graph → pii)
+    # line dedup → keep-best + leakage split on one pair graph → pii) and
+    # the shard-publication last mile (shuffle → within-shard packing)
     "released_corpus_stats",
+    "training_shards_stats",
 ]
 
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -308,3 +309,140 @@ def released_corpus_stats(sf_dir: str | None, **kwargs):
     return partition_reduce(
         released.map_batches(partial, batch_format="pandas"),
         ["lang", "split"], final, num_partitions=4)
+
+
+# --------------------------------------------------------------------------
+# Training-shard publication: the last mile from a released corpus to the
+# shard streams a trainer actually reads (r5 flagship journey, part 2).
+# --------------------------------------------------------------------------
+
+
+def publish_training_shards(sf_dir: str | None, *, docs=None,
+                            seq_len: int = 512, n_shards: int = 8,
+                            split: str = "train", seed: int = 42,
+                            out_dir: str | None = None,
+                            num_partitions: int | None = None,
+                            **release_kwargs):
+    """Released corpus → trainer-ready shard streams:
+
+    1. :func:`release_documents` (gates → dedup → split → scrub);
+    2. the requested ``split`` side only (train by default — the holdout
+       must never enter training shards);
+    3. ``shard_shuffle`` assigns every doc a deterministic (shard, pos)
+       — a content-hash permutation, bit-identical at any parallelism;
+    4. ONE shard-keyed exchange packs each shard independently in pos
+       order: greedy concatenation into ``seq_len``-token sequences
+       (GPT-style document packing), seq ids NEVER straddle a shard
+       boundary — each shard file is a self-contained stream;
+    5. optional per-shard JSONL export (content-addressed, ordered by
+       pos) when ``out_dir`` is given.
+
+    Returns Dataset(doc_id, lang, source, n_tokens, shard, pos,
+    start_seq, end_seq). Scale shape: the only exchange beyond the
+    release chain's own is the shard-keyed pack — shards are equal-ish
+    by construction (md5 modulus), so no partition exceeds
+    corpus/n_shards rows, and only (id, tokens, shard, pos) ints move
+    for the pack; text joins back via the auto-tier hash join only for
+    the export hop."""
+    from ..stages.sampling import shard_shuffle
+    from ..state.groupby import partition_reduce
+    from ..state.joins import hash_join
+
+    released = release_documents(sf_dir, docs=docs, seed=seed,
+                                 num_partitions=num_partitions,
+                                 **release_kwargs)
+
+    def side(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["split"] == split] if len(df) else df
+
+    part = released.map_batches(side, batch_format="pandas").materialize()
+    shards = shard_shuffle(part, "doc_id", n_shards, seed=seed,
+                           num_partitions=num_partitions)
+
+    def meta(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "lang", "source", "n_tokens"]
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype=object),
+                "source": pd.Series([], dtype=object),
+                "n_tokens": pd.Series([], dtype="int64")})
+        return df[cols]
+
+    tagged = hash_join(part.map_batches(meta, batch_format="pandas"),
+                       shards, on="doc_id")
+
+    def pack_shard(grp: pd.DataFrame) -> pd.DataFrame:
+        # all rows of one (or more) shard(s); pack each shard in pos order
+        grp = grp.sort_values(["shard", "pos"], kind="stable")
+        out = []
+        for sh, g in grp.groupby("shard", sort=False):
+            tok = g["n_tokens"].to_numpy(dtype="int64")
+            prefix = np.concatenate(([0], np.cumsum(tok)[:-1]))
+            nz = tok > 0
+            start = prefix // seq_len
+            end = (prefix + np.maximum(tok, 1) - 1) // seq_len
+            o = g.copy()
+            o["start_seq"] = start
+            o["end_seq"] = end
+            out.append(o[nz])  # zero-token docs occupy no sequence
+        return (pd.concat(out, ignore_index=True) if out
+                else grp.assign(start_seq=pd.Series([], dtype="int64"),
+                                end_seq=pd.Series([], dtype="int64")))
+
+    packed = partition_reduce(tagged, ["shard"], pack_shard,
+                              num_partitions=num_partitions)
+
+    if out_dir is not None:
+        from ..sources.export import export_jsonl
+
+        full = hash_join(packed,
+                         part.map_batches(
+                             lambda d: d[["doc_id", "text"]] if len(d)
+                             else pd.DataFrame({
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "text": pd.Series([], dtype=object)}),
+                             batch_format="pandas"),
+                         on="doc_id").materialize()
+        for sh in range(n_shards):
+            piece = full.map_batches(
+                lambda df, s=sh: df[df["shard"] == s] if len(df) else df,
+                batch_format="pandas")
+            export_jsonl(piece, os.path.join(out_dir, f"shard-{sh:05d}"),
+                         columns=["doc_id", "pos", "start_seq", "end_seq",
+                                  "n_tokens", "text"],
+                         sort_within_shard="pos")
+    return packed
+
+
+def training_shards_stats(sf_dir: str | None, *, seq_len: int = 512,
+                          n_shards: int = 8, **kwargs):
+    """→ (shard, n_docs, n_tokens, n_seqs): the shape of each published
+    training shard — n_seqs is exact for straddle-free within-shard
+    packing (= max end_seq + 1). Golden-frozen (chains the release flow's
+    LSH closure); packing/shuffle kernels are REAL-SQL-oracled separately
+    (packed_doc_spans, doc_shard_shuffle)."""
+    from ..state.groupby import partition_reduce
+
+    packed = publish_training_shards(sf_dir, seq_len=seq_len,
+                                     n_shards=n_shards, **kwargs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"shard": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64"),
+                                 "m": pd.Series([], dtype="int64")})
+        return df.groupby("shard", as_index=False).agg(
+            n=("doc_id", "size"), s=("n_tokens", "sum"), m=("end_seq", "max"))
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby("shard", as_index=False).agg(
+            n_docs=("n", "sum"), n_tokens=("s", "sum"), m=("m", "max"))
+        out["n_seqs"] = out["m"] + 1
+        return out[["shard", "n_docs", "n_tokens", "n_seqs"]].astype(
+            {c: "int64" for c in ("shard", "n_docs", "n_tokens", "n_seqs")})
+
+    return partition_reduce(
+        packed.map_batches(partial, batch_format="pandas"),
+        ["shard"], final, num_partitions=4)

@@ -221,3 +221,79 @@ class TestRelease:
             n = int(manifests[split]["n_rows"].sum())
             assert n == int((rel["split"] == split).sum())
             assert verify_export(os.path.join(out, split))["ok"]
+
+
+class TestTrainingShards:
+    """Shard publication (publish_training_shards): straddle-free
+    within-shard packing, holdout exclusion, determinism, export layout."""
+
+    def test_packing_and_holdout_exclusion(self, ray_session, tmp_path):
+        from docprocai_service_ray.pipelines.curate import (
+            publish_training_shards, release_documents)
+
+        d = TestRelease._release_corpus(tmp_path)
+        rel = release_documents(d).to_pandas()
+        packed = publish_training_shards(d, seq_len=32, n_shards=3).to_pandas()
+        # only train-side docs ship
+        train_ids = set(rel.loc[rel["split"] == "train", "doc_id"])
+        assert set(packed["doc_id"]) <= train_ids
+        holdout_ids = set(rel.loc[rel["split"] == "holdout", "doc_id"])
+        assert not (set(packed["doc_id"]) & holdout_ids)
+        # per-shard pos is a clean 0..n-1 ranking and spans are the exact
+        # pos-order cumsum (straddle-free: numbering restarts per shard)
+        for sh, g in packed.sort_values(["shard", "pos"]).groupby("shard"):
+            assert g["pos"].tolist() == sorted(g["pos"])
+            tok = g["n_tokens"].to_numpy()
+            prefix = np.concatenate(([0], np.cumsum(tok)[:-1]))
+            assert (g["start_seq"].to_numpy() == prefix // 32).all()
+            assert (g["end_seq"].to_numpy()
+                    == (prefix + np.maximum(tok, 1) - 1) // 32).all()
+            assert g["start_seq"].iloc[0] == 0  # restarts per shard
+
+    def test_determinism_across_parallelism(self, ray_session, tmp_path):
+        from docprocai_service_ray.pipelines.curate import (
+            publish_training_shards)
+
+        d = TestRelease._release_corpus(tmp_path)
+        a = (publish_training_shards(d, seq_len=32, n_shards=3,
+                                     num_partitions=2).to_pandas()
+             .sort_values(["shard", "pos"]).reset_index(drop=True))
+        b = (publish_training_shards(d, seq_len=32, n_shards=3,
+                                     num_partitions=11).to_pandas()
+             .sort_values(["shard", "pos"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_stats_match_packed_and_export(self, ray_session, tmp_path):
+        import glob
+        import gzip as _gz
+        import json as _json
+
+        from docprocai_service_ray.pipelines.curate import (
+            publish_training_shards, training_shards_stats)
+
+        d = TestRelease._release_corpus(tmp_path)
+        out = str(tmp_path / "shards")
+        packed = publish_training_shards(d, seq_len=32, n_shards=2,
+                                         out_dir=out).to_pandas()
+        stats = (training_shards_stats(d, seq_len=32, n_shards=2)
+                 .to_pandas().sort_values("shard").reset_index(drop=True))
+        exp = (packed.groupby("shard", as_index=False)
+               .agg(n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"),
+                    m=("end_seq", "max")))
+        assert stats["n_docs"].tolist() == exp["n_docs"].tolist()
+        assert stats["n_tokens"].tolist() == exp["n_tokens"].tolist()
+        assert stats["n_seqs"].tolist() == (exp["m"] + 1).tolist()
+        # export: one dir per shard, rows in pos order, text present
+        for sh in (0, 1):
+            files = sorted(glob.glob(os.path.join(out, f"shard-{sh:05d}",
+                                                  "shard-*.jsonl.gz")))
+            assert files
+            rows = []
+            for f in files:
+                rows += [_json.loads(l) for l in
+                         _gz.decompress(open(f, "rb").read())
+                         .decode().splitlines()]
+            in_shard = packed[packed["shard"] == sh]
+            assert len(rows) == len(in_shard)
+            assert {r["doc_id"] for r in rows} == set(in_shard["doc_id"])
+            assert all("text" in r and "start_seq" in r for r in rows)
