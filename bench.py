@@ -109,17 +109,41 @@ def loadavg1() -> float:
         return -1.0
 
 
-def wait_for_quiet(max_load: float = 4.0, max_wait_sec: float = 180.0) -> float:
+def contention_probe() -> float:
+    """Seconds for a 3000² float64 matmul — the BASELINE.md neighbour-load
+    probe. <1.5 s on an idle box; 3–8 s under the external VM contention
+    that /proc/loadavg CANNOT see (the neighbour's load is not ours).
+    Recorded with every timed run so each number carries its measurement
+    conditions (VERDICT r4 #4)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((3000, 3000))
+    b = rng.random((3000, 3000))
+    t0 = time.monotonic()
+    a @ b
+    return round(time.monotonic() - t0, 2)
+
+
+def wait_for_quiet(max_load: float = 4.0, max_wait_sec: float = 180.0,
+                   max_probe: float | None = None) -> tuple[float, float]:
     """Gate a timed run on system load: this shared VM's noisy neighbour
     oscillates loadavg 0.5↔8 and inflates timings ±30% (BASELINE.md). Wait
-    (bounded) for load1 ≤ max_load; return the load observed at release so
-    every recorded number carries its measurement conditions."""
+    (bounded) for load1 ≤ max_load — and, when ``max_probe`` is set, for
+    the matmul contention probe ≤ max_probe (loadavg misses EXTERNAL
+    neighbour load entirely). Returns (load, probe_sec) observed at
+    release so every recorded number carries its measurement conditions."""
     deadline = time.monotonic() + max_wait_sec
     load = loadavg1()
     while load > max_load and time.monotonic() < deadline:
         time.sleep(10)
         load = loadavg1()
-    return load
+    probe = contention_probe()
+    if max_probe is not None:
+        while probe > max_probe and time.monotonic() < deadline:
+            time.sleep(20)
+            probe = contention_probe()
+    return load, probe
 
 
 def run_headline(num_cpus: int, skip_queries: bool = False) -> dict:
@@ -257,9 +281,12 @@ def run_min_of(n_runs: int, num_cpus: int) -> dict:
     launch; the reported number is the min (measures the pipeline, not the
     neighbours). Per-run seconds + loadavg are recorded alongside."""
     best = None
-    runs, loads = [], []
+    runs, loads, probes = [], [], []
+    max_probe = float(os.environ.get("BENCH_MAX_PROBE", "0") or 0) or None
     for _ in range(n_runs):
-        loads.append(round(wait_for_quiet(), 2))
+        load, probe = wait_for_quiet(max_probe=max_probe)
+        loads.append(round(load, 2))
+        probes.append(probe)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), BENCH_ONE_SHOT="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -277,6 +304,7 @@ def run_min_of(n_runs: int, num_cpus: int) -> dict:
     best["pages_per_sec"] = round(best["pages"] / best["value"], 1)
     best["runs_sec"] = runs
     best["loadavg_at_launch"] = loads
+    best["probe_sec_at_launch"] = probes  # idle box ≈1 s; neighbour noise 3–8 s
     return best
 
 
@@ -288,11 +316,14 @@ def run_scaling() -> dict:
     shared VM shows ±30% run-to-run noise; min-of-N measures the
     pipeline, not the neighbours."""
     lo, hi = 4, 16  # N and 4N (see module docstring for why not 8/32)
+    max_probe = float(os.environ.get("BENCH_MAX_PROBE", "0") or 0) or None
     results = {}
+    probes: dict[int, list[float]] = {lo: [], hi: []}
     for ncpu in (lo, hi):
         best = None
         for _ in range(2):
-            wait_for_quiet()
+            _, probe = wait_for_quiet(max_probe=max_probe)
+            probes[ncpu].append(probe)
             env = dict(
                 os.environ, RAY_GRAFT_CPUS=str(ncpu),
                 BENCH_SKIP_QUERIES="1", BENCH_ONE_SHOT="1",
@@ -317,6 +348,7 @@ def run_scaling() -> dict:
         f"pages_per_sec_{hi}": results[hi]["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "pages": results[hi]["pages"],
+        "probe_sec_at_launch": {str(k): v for k, v in probes.items()},
     }
 
 
