@@ -282,7 +282,7 @@ def run_min_of(n_runs: int, num_cpus: int) -> dict:
     neighbours). Per-run seconds + loadavg are recorded alongside."""
     best = None
     runs, loads, probes = [], [], []
-    max_probe = float(os.environ.get("BENCH_MAX_PROBE", "0") or 0) or None
+    max_probe = float(os.environ.get("BENCH_MAX_PROBE", "2.0") or 0) or None
     for _ in range(n_runs):
         load, probe = wait_for_quiet(max_probe=max_probe)
         loads.append(round(load, 2))
@@ -316,7 +316,7 @@ def run_scaling() -> dict:
     shared VM shows ±30% run-to-run noise; min-of-N measures the
     pipeline, not the neighbours."""
     lo, hi = 4, 16  # N and 4N (see module docstring for why not 8/32)
-    max_probe = float(os.environ.get("BENCH_MAX_PROBE", "0") or 0) or None
+    max_probe = float(os.environ.get("BENCH_MAX_PROBE", "2.0") or 0) or None
     results = {}
     probes: dict[int, list[float]] = {lo: [], hi: []}
     for ncpu in (lo, hi):
