@@ -1541,6 +1541,73 @@ def _lang_mix_weights(sf_dir: str):
     return lang_mix_weights(ds, "lang", "text")
 
 
+def _unimax_allocation(sf_dir: str):
+    """UniMax language budget allocation (stages/textstats.
+    unimax_allocation, Chung et al. 2023): water-fill a fixed token
+    budget across languages, capped at max_epochs passes per language —
+    the published fairness upgrade over temperature sampling
+    (lang_mix_alpha). One lang-keyed int exchange + a #languages-row
+    driver waterfall; REAL-SQL-oracled (window-function closed form)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.textstats import unimax_allocation
+
+    ds = _pq(sf_dir, "documents", ["lang", "text"])
+    return unimax_allocation(ds, "lang", "text", budget_tokens=200_000,
+                             max_epochs=4.0)
+
+
+def _compression_ratio_by_source(sf_dir: str):
+    """zlib compressibility profile per source (stages/textstats.
+    compression_ratio_stats): the standard-beside-perplexity quality
+    signal (templated boilerplate compresses hard, noise barely). Fixed-
+    point int64 partials ⇒ bit-deterministic; zlib is not expressible in
+    DuckDB, so golden-frozen — mirror + direction properties in
+    tests/test_compressratio.py."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.textstats import compression_ratio_stats
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    return compression_ratio_stats(ds, "source", "text")
+
+
+def _dsir_selected_docs(sf_dir: str):
+    """DSIR importance resampling (stages/dsir.dsir_select, Xie et al.
+    2023): pick the raw docs that look like a small in-domain target via
+    hashed-n-gram importance weights + content-hash Gumbel top-k. The
+    target here is the deterministic planting the quality-classifier
+    query uses: docs with doc_id%5==1 carry the in-domain suffix, and
+    docs with doc_id%3==0 in the raw pool carry it too — selection
+    should (and does) concentrate on them. Hashed features are not
+    SQL-expressible ⇒ golden-frozen, certified by the single-process
+    reference mirror in tests/test_dsir.py."""
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.dsir import dsir_select
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    suffix = " insight careful evidence analysis"
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "text": t.where(df["doc_id"] % 3 != 0, t + suffix),
+        })
+
+    def target(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["doc_id"] % 5 == 1
+        return pd.DataFrame({
+            "doc_id": df["doc_id"][keep],
+            "text": df["text"][keep].fillna("") + suffix,
+        })
+
+    raw = ds.map_batches(plant, batch_format="pandas")
+    tgt = ds.map_batches(target, batch_format="pandas")
+    return dsir_select(raw, tgt, "doc_id", "text", select_k=50,
+                       buckets=4096, seed=_CFG.seed)
+
+
 _DEDUP_IDX_VER = "v1"
 
 
@@ -1957,6 +2024,13 @@ _GOLDEN_QUERIES = [
     # (drops, scrub, no-straddle) asserted in tests/test_curate.py
     "released_corpus_stats",
     "training_shards_stats",
+    # DSIR hashed-n-gram features (pd.util u64 hash) are not expressible
+    # in DuckDB — golden pins the deterministic selection, certified by
+    # the single-process reference mirror in tests/test_dsir.py
+    "dsir_selected_docs",
+    # zlib is not expressible in DuckDB — golden pins the fixed-point
+    # deterministic profile (mirror + direction in test_compressratio.py)
+    "compression_ratio_by_source",
 ]
 
 
@@ -1980,6 +2054,10 @@ _PRIORITY_QUERIES = [
     "lang_mix_alpha",
     "released_corpus_stats",
     "training_shards_stats",
+    # r5 additions — never sampled before this round
+    "unimax_allocation",
+    "dsir_selected_docs",
+    "compression_ratio_by_source",
     "doc_summaries",
     "ann_indexed_topk",
     "media_frames",
@@ -2097,6 +2175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_outlier_stats": _embedding_outlier_stats,
             "doc_shard_shuffle": _doc_shard_shuffle,
             "lang_mix_weights": _lang_mix_weights,
+            "unimax_allocation": _unimax_allocation,
+            "compression_ratio_by_source": _compression_ratio_by_source,
+            "dsir_selected_docs": _dsir_selected_docs,
             "shard_dedup_probe": _shard_dedup_probe,
             "packed_doc_spans": _packed_doc_spans,
             "semantic_dedup_keep": _semantic_dedup_keep,
@@ -2198,6 +2279,10 @@ def oracle_sql() -> dict[str, str]:
     sql["lang_mix_weights"] = lang_mix_sql("documents", "lang", "text")
     sql["lang_mix_alpha"] = lang_mix_alpha_sql("documents", "lang", "text",
                                                alpha=0.3)
+    from docprocai_service_ray.stages.textstats import unimax_allocation_sql
+
+    sql["unimax_allocation"] = unimax_allocation_sql(
+        "documents", "lang", "text", budget_tokens=200_000, max_epochs=4.0)
     from docprocai_service_ray.stages.decontam import decontam_sql
 
     sql["decontam_by_source"] = decontam_sql(

@@ -92,6 +92,11 @@ QUERY_NAMES = [
     # the shard-publication last mile (shuffle → within-shard packing)
     "released_corpus_stats",
     "training_shards_stats",
+    # r5 wave 2: DSIR target-domain selection, UniMax budget allocation,
+    # zlib compressibility signal
+    "dsir_selected_docs",
+    "unimax_allocation",
+    "compression_ratio_by_source",
 ]
 
 

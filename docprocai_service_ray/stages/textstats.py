@@ -730,3 +730,185 @@ def lang_mix_alpha_sql(table: str, lang_col: str, text_col: str, *,
                      {round_to}) AS rate_multiplier
         FROM shares
     """
+
+
+def _lang_token_table(ds, lang_col: str, text_col: str,
+                      num_partitions: int | None) -> pd.DataFrame:
+    """Shared lang-keyed (lang, n_tokens, n_docs) exchange used by the
+    mix/allocation finishers (lang_mix_weights' shape, factored out)."""
+    from ..state.groupby import collect_pandas, partition_reduce
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.assign(tok=token_counts(df[text_col]))
+                .groupby(lang_col, as_index=False)
+                .agg(s=("tok", "sum"), n=("tok", "size")))
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(lang_col, as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+
+    grouped = partition_reduce(
+        ds.map_batches(per_batch, batch_format="pandas"),
+        [lang_col], merge, num_partitions=num_partitions)
+    df = collect_pandas(grouped, [lang_col, "s", "n"])
+    return (df.groupby(lang_col, as_index=False)
+            .agg(s=("s", "sum"), n=("n", "sum"))
+            .sort_values(lang_col).reset_index(drop=True))
+
+
+def unimax_allocation(ds, lang_col: str, text_col: str, *,
+                      budget_tokens: int, max_epochs: float = 4.0,
+                      round_to: int = 6,
+                      num_partitions: int | None = None) -> pd.DataFrame:
+    """UniMax language budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): spread a total token ``budget`` as
+    uniformly as possible across languages, but never take more than
+    ``max_epochs`` passes over any language's data. The classic
+    water-filling: sort languages by their epoch cap ``cap_i = n_tokens_i
+    * max_epochs`` ascending; walk up — a language whose cap sits below
+    the current uniform waterline contributes its whole cap, every
+    language above the waterline gets the waterline share
+    ``t = remaining_budget / remaining_langs``.
+
+    Shape: one lang-keyed int-partial exchange (the lang_mix_weights
+    plan), then the waterfall on the #languages-row table — driver-sized
+    by definition. REAL-SQL-oracled: the DuckDB twin computes the same
+    closed form with window functions (first row where the cap clears
+    the waterline fixes ``t``; everything below keeps its cap).
+
+    Output per language: natural tokens, cap, allocated tokens, and the
+    resulting epochs ``alloc / n_tokens`` (≤ max_epochs by construction).
+    """
+    df = _lang_token_table(ds, lang_col, text_col, num_partitions)
+    df = df.sort_values(["s", lang_col]).reset_index(drop=True)
+    n = len(df)
+    caps = df["s"].to_numpy(dtype="float64") * float(max_epochs)
+    alloc = np.empty(n, dtype=np.float64)
+    remaining = float(budget_tokens)
+    waterline = None
+    for i in range(n):  # #languages iterations — driver-sized
+        share = remaining / (n - i)
+        if waterline is None and caps[i] <= share:
+            alloc[i] = caps[i]
+            remaining -= caps[i]
+        else:
+            if waterline is None:
+                waterline = share
+            alloc[i] = waterline
+    out = pd.DataFrame({
+        lang_col: df[lang_col],
+        "n_tokens": df["s"].astype("int64"),
+        "cap_tokens": np.round(caps, round_to),
+        "alloc_tokens": np.round(alloc, round_to),
+        "epochs": np.round(alloc / np.maximum(df["s"].to_numpy(dtype="float64"),
+                                              1.0), round_to),
+    })
+    return out.sort_values(lang_col).reset_index(drop=True)
+
+
+def unimax_allocation_sql(table: str, lang_col: str, text_col: str, *,
+                          budget_tokens: int, max_epochs: float = 4.0,
+                          round_to: int = 6) -> str:
+    """DuckDB twin of :func:`unimax_allocation` — identical water-filling
+    closed form: ordered by (cap, lang), the FIRST row whose cap exceeds
+    its uniform share ``(B - cum_prev) / langs_left`` fixes the waterline
+    ``t``; rows before it keep their caps, rows from it on get ``t``.
+    Same int64 prefix sums, same IEEE division order, same rounding."""
+    ntok = (f"SUM(len(list_filter(regexp_split_to_array({text_col}, "
+            f"'{_PY_WS_SQL}+'), x -> x <> '')))")
+    return f"""
+        WITH per_lang AS (
+            SELECT {lang_col}, CAST({ntok} AS BIGINT) AS n_tokens
+            FROM {table} GROUP BY 1
+        ), ordered AS (
+            SELECT {lang_col}, n_tokens,
+                   n_tokens * {max_epochs} AS cap,
+                   ROW_NUMBER() OVER w AS rn,
+                   COUNT(*) OVER () AS n,
+                   COALESCE(SUM(n_tokens * {max_epochs}) OVER (
+                       w ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_prev
+            FROM per_lang
+            WINDOW w AS (ORDER BY n_tokens * {max_epochs}, {lang_col})
+        ), first_uncapped AS (
+            SELECT rn AS j,
+                   ({budget_tokens} - cum_prev) / (n - rn + 1) AS t
+            FROM ordered
+            WHERE cap > ({budget_tokens} - cum_prev) / (n - rn + 1)
+            ORDER BY rn LIMIT 1
+        )
+        SELECT {lang_col}, n_tokens,
+               ROUND(cap, {round_to}) AS cap_tokens,
+               ROUND(CASE WHEN f.j IS NULL OR o.rn < f.j THEN o.cap
+                          ELSE f.t END, {round_to}) AS alloc_tokens,
+               ROUND(CASE WHEN f.j IS NULL OR o.rn < f.j THEN o.cap
+                          ELSE f.t END
+                     / GREATEST(CAST(n_tokens AS DOUBLE), 1.0),
+                     {round_to}) AS epochs
+        FROM ordered o LEFT JOIN first_uncapped f ON TRUE
+        ORDER BY {lang_col}
+    """
+
+
+def compression_ratio_stats(ds, group_col: str, text_col: str, *,
+                            level: int = 6, round_to: int = 6,
+                            num_partitions: int | None = None):
+    """Per-group zlib compression-ratio profile — the
+    compressibility quality signal web curation uses beside the
+    repetition rules (highly compressible ⇒ templated/boilerplate/
+    repetitive text; near-incompressible ⇒ random noise; both tails get
+    inspected, exactly like the perplexity signal in stages/ngramlm.py).
+    Ratio per doc = ``len(zlib.compress(utf8)) / len(utf8)``; empty docs
+    are excluded (no ratio exists — the SQL-twin-style exclusion rule).
+
+    Shape: per-batch the C zlib kernel runs per doc (inherently rowwise,
+    like bpe_apply's encode loop) and partials collapse to per-group
+    (n, Σratio, min, max) before leaving the task; one group-keyed
+    exchange merges. Per-doc ratios are carried as FIXED-POINT int64
+    (1e-9 units — the kmeans/classifier "int64 partials ⇒ order-free ⇒
+    golden-freezable" rule), so the grouped sum is exact at any
+    parallelism. zlib output is pinned by RFC 1950 for a fixed level ⇒
+    deterministic; not expressible in DuckDB, so the registered query is
+    golden-frozen, property-tested in tests/test_compressratio.py.
+    """
+    import zlib
+
+    from ..state.groupby import partition_reduce
+
+    _FP = 10 ** 9
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        raw = df[text_col].fillna("").str.encode("utf-8")
+        n = raw.str.len().to_numpy(dtype="int64")
+        keep = n > 0
+        if not keep.any():
+            return pd.DataFrame({group_col: df[group_col].iloc[:0],
+                                 "n_docs": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="int64"),
+                                 "lo": pd.Series(dtype="int64"),
+                                 "hi": pd.Series(dtype="int64")})
+        comp = np.fromiter((len(zlib.compress(b, level)) for b in raw[keep]),
+                           dtype=np.int64, count=int(keep.sum()))
+        r_fp = (comp * _FP) // n[keep]  # fixed-point 1e-9 ratio, exact
+        part = pd.DataFrame({group_col: df[group_col].to_numpy()[keep],
+                             "r": r_fp})
+        return part.groupby(group_col, as_index=False).agg(
+            n_docs=("r", "size"), s=("r", "sum"), lo=("r", "min"),
+            hi=("r", "max"))
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(group_col, as_index=False).agg(
+            n_docs=("n_docs", "sum"), s=("s", "sum"), lo=("lo", "min"),
+            hi=("hi", "max"))
+        return pd.DataFrame({
+            group_col: g[group_col],
+            "n_docs": g["n_docs"].astype("int64"),
+            "mean_ratio": np.round(g["s"] / g["n_docs"] / _FP, round_to),
+            "min_ratio": np.round(g["lo"] / _FP, round_to),
+            "max_ratio": np.round(g["hi"] / _FP, round_to),
+        })
+
+    return partition_reduce(ds.map_batches(per_batch, batch_format="pandas"),
+                            [group_col], merge,
+                            num_partitions=num_partitions)
