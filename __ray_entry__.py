@@ -1334,6 +1334,19 @@ def _bigram_bits_by_source(sf_dir: str):
     return bigram_lm_bits(ds, "doc_id", "text", "source")
 
 
+def _perplexity_buckets_docs(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing (stages/ngramlm.
+    perplexity_buckets, Wenzek 2020 §4.3): score every doc with the
+    corpus's own bigram LM, split each source at its exact tercile
+    cutoffs (quantile_disc), report per-(source, bucket) doc count and
+    mean bits. REAL-SQL-oracled (the bigram twin + quantile_disc CASE)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.ngramlm import perplexity_buckets
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    return perplexity_buckets(ds, "doc_id", "text", "source")
+
+
 # --------------- registrable domains (stages/domains.py) --------------------
 
 # url hosts PLANTED with suffix variety (ML2 public suffix, www/deep
@@ -2055,6 +2068,7 @@ _PRIORITY_QUERIES = [
     "released_corpus_stats",
     "training_shards_stats",
     # r5 additions — never sampled before this round
+    "perplexity_buckets_docs",
     "unimax_allocation",
     "dsir_selected_docs",
     "compression_ratio_by_source",
@@ -2188,6 +2202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bpe_token_stats": _bpe_token_stats,
             "domain_doc_counts": _domain_doc_counts,
             "bigram_bits_by_source": _bigram_bits_by_source,
+            "perplexity_buckets_docs": _perplexity_buckets_docs,
             "near_dup_keep_best": _near_dup_keep_best,
             "quality_classifier_history": _quality_classifier_history,
             "bm25_search_docs": _bm25_search_docs,
@@ -2337,6 +2352,10 @@ def oracle_sql() -> dict[str, str]:
     from docprocai_service_ray.stages.ngramlm import bigram_lm_sql
 
     sql["bigram_bits_by_source"] = bigram_lm_sql(
+        "documents", "doc_id", "text", "source")
+    from docprocai_service_ray.stages.ngramlm import perplexity_buckets_sql
+
+    sql["perplexity_buckets_docs"] = perplexity_buckets_sql(
         "documents", "doc_id", "text", "source")
     from docprocai_service_ray.stages.bm25 import bm25_sql
 

@@ -161,3 +161,153 @@ def bigram_lm_sql(table: str, id_col: str, text_col: str, group_col: str,
                ROUND(AVG(bits), 4) AS avg_bits
         FROM per_doc GROUP BY 1
     """
+
+
+def doc_bigram_bits(ds, id_col: str, text_col: str, group_col: str, *,
+                    k: float = 1.0, round_to: int = 6,
+                    num_partitions: int | None = None):
+    """Per-DOC bigram-LM score ``(id, group, bits)`` — the same model
+    and exchanges as :func:`bigram_lm_bits`, stopping at the document
+    grain (bits rounded to ``round_to`` for cross-engine comparison).
+    Docs with < 2 tokens have no bigram and are excluded, like the SQL
+    twin's joins."""
+    from ..state.groupby import partition_reduce
+    from ..state.joins import hash_join
+
+    grams = _doc_bigrams(ds, id_col, text_col, group_col)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l", "r"], as_index=False).agg(c=("cnt", "sum"))
+
+    def pair_final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["l", "r"], as_index=False).agg(c=("c", "sum"))
+        g["cl"] = g.groupby("l")["c"].transform("sum")
+        return g.astype({"c": "int64", "cl": "int64"})
+
+    stats = partition_reduce(
+        grams.map_batches(pair_partial, batch_format="pandas"),
+        ["l"], pair_final, num_partitions=num_partitions)
+    vocab = _vocab_size(ds, text_col, num_partitions)
+    scored = hash_join(grams, stats, on=["l", "r"])
+
+    def doc_partial(df: pd.DataFrame, vocab=vocab) -> pd.DataFrame:
+        bits = -np.log2((df["c"] + k) / (df["cl"] + k * vocab))
+        return pd.DataFrame({
+            id_col: df[id_col], group_col: df[group_col],
+            "b": bits * df["cnt"], "n": df["cnt"],
+        }).groupby([id_col, group_col], as_index=False).sum()
+
+    def per_doc(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.groupby([id_col, group_col], as_index=False).agg(
+            b=("b", "sum"), n=("n", "sum"))
+        return pd.DataFrame({
+            id_col: d[id_col], group_col: d[group_col],
+            "bits": np.round(d["b"] / d["n"], round_to),
+        })
+
+    return partition_reduce(
+        scored.map_batches(doc_partial, batch_format="pandas"),
+        [id_col], per_doc, num_partitions=num_partitions)
+
+
+def perplexity_buckets(ds, id_col: str, text_col: str, group_col: str, *,
+                       k: float = 1.0, round_to: int = 6,
+                       num_partitions: int | None = None):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3: score every doc with the LM, split each language at the 1/3
+    and 2/3 perplexity cutoffs; training mixes keep "head" — the
+    most-predictable third). Buckets are assigned against the group's
+    exact PERCENTILE_DISC tercile cutoffs (an actual data point, no
+    interpolation — stages/quantiles.grouped_quantiles_disc semantics),
+    low bits = head. Output per (group, bucket): n_docs + avg_bits(4dp).
+
+    Scale shape: everything corpus-sized is doc_bigram_bits' count-keyed
+    exchanges; the cutoff step needs each group's (rounded) bits values
+    co-located — the quantiles.py exact-tier contract, whose documented
+    100-TB path is the mergeable t-digest sketch tier (swap
+    grouped_quantiles_disc for grouped_quantiles_sketch; cutoffs become
+    approximate, bucketing logic unchanged). The exact tier here keeps
+    the op REAL-SQL-oracled. Cutoffs collect to #groups rows, ship back
+    in the assign closure."""
+    from ..state.groupby import collect_pandas, partition_reduce
+    from ..stages.quantiles import grouped_quantiles_disc
+
+    docbits = doc_bigram_bits(ds, id_col, text_col, group_col, k=k,
+                              round_to=round_to,
+                              num_partitions=num_partitions).materialize()
+    cuts = collect_pandas(
+        grouped_quantiles_disc(docbits, group_col, "bits", [1 / 3, 2 / 3],
+                               round_to=round_to),
+        [group_col, "n", "qd_33", "qd_67"])
+    c1 = dict(zip(cuts[group_col], cuts["qd_33"]))
+    c2 = dict(zip(cuts[group_col], cuts["qd_67"]))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[group_col].map(c1).to_numpy(dtype=np.float64)
+        hi = df[group_col].map(c2).to_numpy(dtype=np.float64)
+        b = df["bits"].to_numpy(dtype=np.float64)
+        bucket = np.where(b <= lo, "head",
+                          np.where(b <= hi, "middle", "tail"))
+        return df.assign(bucket=bucket)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby([group_col, "bucket"], as_index=False).agg(
+            n_docs=("bits", "size"), bs=("bits", "sum"))
+        return pd.DataFrame({
+            group_col: g[group_col], "bucket": g["bucket"],
+            "n_docs": g["n_docs"].astype("int64"),
+            "avg_bits": np.round(g["bs"] / g["n_docs"], 4),
+        })
+
+    return partition_reduce(
+        docbits.map_batches(assign, batch_format="pandas"),
+        [group_col, "bucket"], final, num_partitions=num_partitions)
+
+
+def perplexity_buckets_sql(table: str, id_col: str, text_col: str,
+                           group_col: str, *, k: float = 1.0,
+                           round_to: int = 6) -> str:
+    """DuckDB twin of :func:`perplexity_buckets` — same model as
+    bigram_lm_sql, per-doc bits rounded identically, the same
+    quantile_disc tercile cutoffs, the same <= comparisons."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}, {group_col},
+                   generate_subscripts(ts, 1) AS pos, unnest(ts) AS w
+            FROM (SELECT {id_col}, {group_col},
+                         regexp_extract_all(lower(coalesce({text_col}, '')),
+                                            '{_TOKEN_RE}') AS ts
+                  FROM {table})
+        ), bg AS (
+            SELECT * FROM (
+                SELECT {id_col}, {group_col},
+                       lag(w) OVER (PARTITION BY {id_col} ORDER BY pos) AS l,
+                       w AS r
+                FROM toks)
+            WHERE l IS NOT NULL
+        ), c2 AS (
+            SELECT l, r, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        ), cl AS (
+            SELECT l, SUM(c) AS cl FROM c2 GROUP BY 1
+        ), v AS (
+            SELECT COUNT(DISTINCT w) AS v FROM toks
+        ), per_doc AS (
+            SELECT bg.{id_col}, bg.{group_col},
+                   ROUND(AVG(-log2((c2.c + {k}) / (cl.cl + {k} * v.v))),
+                         {round_to}) AS bits
+            FROM bg JOIN c2 USING (l, r) JOIN cl USING (l), v
+            GROUP BY 1, 2
+        ), cuts AS (
+            SELECT {group_col},
+                   ROUND(quantile_disc(bits, {1 / 3!r}), {round_to}) AS c1,
+                   ROUND(quantile_disc(bits, {2 / 3!r}), {round_to}) AS c2
+            FROM per_doc GROUP BY 1
+        )
+        SELECT {group_col},
+               CASE WHEN bits <= c1 THEN 'head'
+                    WHEN bits <= c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               COUNT(*) AS n_docs, ROUND(AVG(bits), 4) AS avg_bits
+        FROM per_doc JOIN cuts USING ({group_col})
+        GROUP BY 1, 2
+    """
