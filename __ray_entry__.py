@@ -1347,6 +1347,19 @@ def _perplexity_buckets_docs(sf_dir: str):
     return perplexity_buckets(ds, "doc_id", "text", "source")
 
 
+def _kneser_ney_bits_by_source(sf_dir: str):
+    """Interpolated Kneser–Ney bigram LM bits per source (stages/ngramlm.
+    kneser_ney_bits, Kneser & Ney 1995 / Chen & Goodman 1998) — the
+    KenLM/CCNet smoothing family: continuation-count backoff instead of
+    add-k. One extra type-level exchange over the add-k pipeline;
+    REAL-SQL-oracled."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.ngramlm import kneser_ney_bits
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    return kneser_ney_bits(ds, "doc_id", "text", "source")
+
+
 # --------------- registrable domains (stages/domains.py) --------------------
 
 # url hosts PLANTED with suffix variety (ML2 public suffix, www/deep
@@ -2069,6 +2082,7 @@ _PRIORITY_QUERIES = [
     "training_shards_stats",
     # r5 additions — never sampled before this round
     "perplexity_buckets_docs",
+    "kneser_ney_bits_by_source",
     "unimax_allocation",
     "dsir_selected_docs",
     "compression_ratio_by_source",
@@ -2203,6 +2217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "domain_doc_counts": _domain_doc_counts,
             "bigram_bits_by_source": _bigram_bits_by_source,
             "perplexity_buckets_docs": _perplexity_buckets_docs,
+            "kneser_ney_bits_by_source": _kneser_ney_bits_by_source,
             "near_dup_keep_best": _near_dup_keep_best,
             "quality_classifier_history": _quality_classifier_history,
             "bm25_search_docs": _bm25_search_docs,
@@ -2356,6 +2371,10 @@ def oracle_sql() -> dict[str, str]:
     from docprocai_service_ray.stages.ngramlm import perplexity_buckets_sql
 
     sql["perplexity_buckets_docs"] = perplexity_buckets_sql(
+        "documents", "doc_id", "text", "source")
+    from docprocai_service_ray.stages.ngramlm import kneser_ney_sql
+
+    sql["kneser_ney_bits_by_source"] = kneser_ney_sql(
         "documents", "doc_id", "text", "source")
     from docprocai_service_ray.stages.bm25 import bm25_sql
 

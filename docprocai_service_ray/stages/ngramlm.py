@@ -311,3 +311,135 @@ def perplexity_buckets_sql(table: str, id_col: str, text_col: str,
         FROM per_doc JOIN cuts USING ({group_col})
         GROUP BY 1, 2
     """
+
+
+def kneser_ney_bits(ds, id_col: str, text_col: str, group_col: str, *,
+                    discount: float = 0.75,
+                    num_partitions: int | None = None):
+    """Per-group (n_docs, avg_bits) under an interpolated Kneser–Ney
+    bigram LM (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.23 with a
+    fixed absolute discount D — the KenLM/CCNet smoothing family, vs
+    bigram_lm_bits' add-k):
+
+        p(r | l) = (max(c(l,r) − D, 0) + D · N1+(l,·) · p_cont(r)) / c(l)
+        p_cont(r) = N1+(·,r) / N1+(·,·)
+
+    where N1+(l,·) = #distinct continuations of l, N1+(·,r) = #distinct
+    left-contexts of r, N1+(·,·) = #distinct bigram types. Scored on the
+    corpus's own model, so every (l, r) has c ≥ 1 and p > 0.
+
+    Scale shape: the add-k pipeline's exchanges plus ONE extra type-level
+    exchange keyed by the RIGHT token for the continuation counts — all
+    count-shaped, raw text never ships. N1+(·,·) is a metadata count of
+    the type table."""
+    from ..state.groupby import partition_reduce
+    from ..state.joins import hash_join
+
+    grams = _doc_bigrams(ds, id_col, text_col, group_col)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l", "r"], as_index=False).agg(c=("cnt", "sum"))
+
+    def pair_final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["l", "r"], as_index=False).agg(c=("c", "sum"))
+        # partitioned by l ⇒ context totals AND distinct-continuation
+        # counts are exact within the partition
+        g["cl"] = g.groupby("l")["c"].transform("sum")
+        g["nl"] = g.groupby("l")["c"].transform("size")
+        return g.astype({"c": "int64", "cl": "int64", "nl": "int64"})
+
+    stats = partition_reduce(
+        grams.map_batches(pair_partial, batch_format="pandas"),
+        ["l"], pair_final, num_partitions=num_partitions).materialize()
+
+    def cont_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["l", "r"]]
+
+    def cont_final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("r", as_index=False).agg(nr=("l", "size"))
+        return g.astype({"nr": "int64"})
+
+    cont = partition_reduce(
+        stats.map_batches(cont_partial, batch_format="pandas"),
+        ["r"], cont_final, num_partitions=num_partitions).materialize()
+    n_types = int(cont.sum("nr"))
+
+    scored = hash_join(hash_join(grams, stats, on=["l", "r"]),
+                       cont, on=["r"])
+
+    def doc_partial(df: pd.DataFrame, t=n_types) -> pd.DataFrame:
+        c = df["c"].to_numpy(dtype=np.float64)
+        p = (np.maximum(c - discount, 0.0)
+             + discount * df["nl"].to_numpy(np.float64)
+             * df["nr"].to_numpy(np.float64) / t) \
+            / df["cl"].to_numpy(np.float64)
+        bits = -np.log2(p)
+        return pd.DataFrame({
+            id_col: df[id_col], group_col: df[group_col],
+            "b": bits * df["cnt"], "n": df["cnt"],
+        }).groupby([id_col, group_col], as_index=False).sum()
+
+    def per_doc(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.groupby([id_col, group_col], as_index=False).agg(
+            b=("b", "sum"), n=("n", "sum"))
+        d["bits"] = d["b"] / d["n"]
+        return d.groupby(group_col, as_index=False).agg(
+            n_docs=("bits", "size"), bs=("bits", "sum"))
+
+    group_partials = partition_reduce(
+        scored.map_batches(doc_partial, batch_format="pandas"),
+        [id_col], per_doc, num_partitions=num_partitions)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(group_col, as_index=False).agg(
+            n_docs=("n_docs", "sum"), bs=("bs", "sum"))
+        return pd.DataFrame({
+            group_col: g[group_col],
+            "n_docs": g["n_docs"].astype("int64"),
+            "avg_bits": (g["bs"] / g["n_docs"]).round(4),
+        })
+
+    return partition_reduce(group_partials, [group_col], final,
+                            num_partitions=4)
+
+
+def kneser_ney_sql(table: str, id_col: str, text_col: str, group_col: str,
+                   *, discount: float = 0.75) -> str:
+    """DuckDB twin of :func:`kneser_ney_bits` — same tokenizer, same
+    discount, same operation order in the probability expression."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}, {group_col},
+                   generate_subscripts(ts, 1) AS pos, unnest(ts) AS w
+            FROM (SELECT {id_col}, {group_col},
+                         regexp_extract_all(lower(coalesce({text_col}, '')),
+                                            '{_TOKEN_RE}') AS ts
+                  FROM {table})
+        ), bg AS (
+            SELECT * FROM (
+                SELECT {id_col}, {group_col},
+                       lag(w) OVER (PARTITION BY {id_col} ORDER BY pos) AS l,
+                       w AS r
+                FROM toks)
+            WHERE l IS NOT NULL
+        ), c2 AS (
+            SELECT l, r, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        ), cl AS (
+            SELECT l, SUM(c) AS cl, COUNT(*) AS nl FROM c2 GROUP BY 1
+        ), cr AS (
+            SELECT r, COUNT(*) AS nr FROM c2 GROUP BY 1
+        ), t AS (
+            SELECT COUNT(*) AS t FROM c2
+        ), per_doc AS (
+            SELECT bg.{id_col}, bg.{group_col},
+                   AVG(-log2((greatest(c2.c - {discount}, 0.0)
+                              + {discount} * cl.nl * cr.nr / t.t) / cl.cl))
+                       AS bits
+            FROM bg JOIN c2 USING (l, r) JOIN cl USING (l)
+                    JOIN cr USING (r), t
+            GROUP BY 1, 2
+        )
+        SELECT {group_col}, COUNT(*) AS n_docs,
+               ROUND(AVG(bits), 4) AS avg_bits
+        FROM per_doc GROUP BY 1
+    """
