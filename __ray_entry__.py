@@ -1360,6 +1360,19 @@ def _kneser_ney_bits_by_source(sf_dir: str):
     return kneser_ney_bits(ds, "doc_id", "text", "source")
 
 
+def _zipf_corpus_stats(sf_dir: str):
+    """Zipf-law corpus health scan (stages/zipf.zipf_law_stats): type/
+    token + hapax shares and the log-log slope/r² of the top-1000 ranks
+    — the standard pre-training corpus sanity signal. One word-count
+    exchange; the fit sees only top-k rows. REAL-SQL-oracled
+    (ROW_NUMBER + REGR_SLOPE twin)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.zipf import zipf_law_stats
+
+    ds = _pq(sf_dir, "documents", ["text"])
+    return zipf_law_stats(ds, "text", top_k=1000)
+
+
 # --------------- registrable domains (stages/domains.py) --------------------
 
 # url hosts PLANTED with suffix variety (ML2 public suffix, www/deep
@@ -2083,6 +2096,7 @@ _PRIORITY_QUERIES = [
     # r5 additions — never sampled before this round
     "perplexity_buckets_docs",
     "kneser_ney_bits_by_source",
+    "zipf_corpus_stats",
     "unimax_allocation",
     "dsir_selected_docs",
     "compression_ratio_by_source",
@@ -2218,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bigram_bits_by_source": _bigram_bits_by_source,
             "perplexity_buckets_docs": _perplexity_buckets_docs,
             "kneser_ney_bits_by_source": _kneser_ney_bits_by_source,
+            "zipf_corpus_stats": _zipf_corpus_stats,
             "near_dup_keep_best": _near_dup_keep_best,
             "quality_classifier_history": _quality_classifier_history,
             "bm25_search_docs": _bm25_search_docs,
@@ -2376,6 +2391,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["kneser_ney_bits_by_source"] = kneser_ney_sql(
         "documents", "doc_id", "text", "source")
+    from docprocai_service_ray.stages.zipf import zipf_law_sql
+
+    sql["zipf_corpus_stats"] = zipf_law_sql("documents", "text",
+                                            top_k=1000)
     from docprocai_service_ray.stages.bm25 import bm25_sql
 
     sql["bm25_search_docs"] = bm25_sql(
