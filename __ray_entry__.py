@@ -1373,6 +1373,19 @@ def _zipf_corpus_stats(sf_dir: str):
     return zipf_law_stats(ds, "text", top_k=1000)
 
 
+def _source_overlap_matrix(sf_dir: str):
+    """Pairwise source n-gram Jaccard (stages/overlap.
+    source_overlap_jaccard): the mixture-redundancy matrix consulted
+    before weighting sources into a training mix. One gram-hash-keyed
+    exchange; driver folds #sources² rows. REAL-SQL-oracled
+    (string-compared grams — hash collisions would surface)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.overlap import source_overlap_jaccard
+
+    ds = _pq(sf_dir, "documents", ["text", "source"])
+    return source_overlap_jaccard(ds, "text", "source", n=3)
+
+
 # --------------- registrable domains (stages/domains.py) --------------------
 
 # url hosts PLANTED with suffix variety (ML2 public suffix, www/deep
@@ -2097,6 +2110,7 @@ _PRIORITY_QUERIES = [
     "perplexity_buckets_docs",
     "kneser_ney_bits_by_source",
     "zipf_corpus_stats",
+    "source_overlap_matrix",
     "unimax_allocation",
     "dsir_selected_docs",
     "compression_ratio_by_source",
@@ -2233,6 +2247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "perplexity_buckets_docs": _perplexity_buckets_docs,
             "kneser_ney_bits_by_source": _kneser_ney_bits_by_source,
             "zipf_corpus_stats": _zipf_corpus_stats,
+            "source_overlap_matrix": _source_overlap_matrix,
             "near_dup_keep_best": _near_dup_keep_best,
             "quality_classifier_history": _quality_classifier_history,
             "bm25_search_docs": _bm25_search_docs,
@@ -2395,6 +2410,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["zipf_corpus_stats"] = zipf_law_sql("documents", "text",
                                             top_k=1000)
+    from docprocai_service_ray.stages.overlap import source_overlap_sql
+
+    sql["source_overlap_matrix"] = source_overlap_sql(
+        "documents", "text", "source", n=3)
     from docprocai_service_ray.stages.bm25 import bm25_sql
 
     sql["bm25_search_docs"] = bm25_sql(
