@@ -1319,6 +1319,61 @@ def _quality_classifier_history(sf_dir: str):
     return history
 
 
+def _classifier_scored_by_source(sf_dir: str):
+    """Quality-filter INFERENCE at corpus scale (stages/classifier.
+    classifier_score): train on the planted labels (the
+    _quality_classifier_history setup), then score EVERY doc with the
+    trained weights — a pure map, weights ride the closure — and roll up
+    per source: doc count, mean quality prob (6dp), docs kept at the 0.5
+    gate. Bit-deterministic end to end (fixed-point GD + float64 map) ⇒
+    golden-frozen."""
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.classifier import (
+        classifier_score,
+        train_quality_classifier,
+    )
+    from docprocai_service_ray.state.groupby import partition_reduce
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"]
+        y = (i % 3 == 0).astype("int64")
+        t = df["text"].fillna("")
+        t = t.where(y == 0, t + " insight careful evidence analysis")
+        t = t.where(y == 1, t + " spam click offer free")
+        return pd.DataFrame({"text": t, "y": y, "source": df["source"]})
+
+    planted = ds.map_batches(plant, batch_format="pandas").materialize()
+    w, _ = train_quality_classifier(planted, "text", "y",
+                                    dim=256, iters=20, lr=2.0)
+    scored = classifier_score(planted, "text", w)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("quality_prob", "size"),
+            p_sum=("quality_prob", "sum"),
+            n_kept=("quality_prob", lambda s: int((s >= 0.5).sum())))
+        return g
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), p_sum=("p_sum", "sum"),
+            n_kept=("n_kept", "sum"))
+        return pd.DataFrame({
+            "source": g["source"],
+            "n_docs": g["n_docs"].astype("int64"),
+            "avg_prob": (g["p_sum"] / g["n_docs"]).round(6),
+            "n_kept": g["n_kept"].astype("int64"),
+        })
+
+    return partition_reduce(
+        scored.map_batches(partial, batch_format="pandas"),
+        ["source"], final, num_partitions=4)
+
+
 # --------------- bigram LM scoring (stages/ngramlm.py) ----------------------
 
 def _bigram_bits_by_source(sf_dir: str):
@@ -2046,6 +2101,9 @@ _GOLDEN_QUERIES = [
     # iterative clustering; bit-deterministic via fixed-point updates
     # (parallelism invariance + reference mirror in tests/test_kmeans.py)
     "kmeans_embeddings",
+    # GD training + sigmoid map — no exact SQL; bit-deterministic
+    # (fixed-point gradient partials), golden pins train→score→rollup
+    "classifier_scored_by_source",
     # SemDeDup: kmeans fixpoint + within-cluster cosine — deterministic
     # (parallelism invariance + planted-duplicate tests), golden-frozen
     "semantic_dedup_keep",
@@ -2111,6 +2169,7 @@ _PRIORITY_QUERIES = [
     "kneser_ney_bits_by_source",
     "zipf_corpus_stats",
     "source_overlap_matrix",
+    "classifier_scored_by_source",
     "unimax_allocation",
     "dsir_selected_docs",
     "compression_ratio_by_source",
@@ -2250,6 +2309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "source_overlap_matrix": _source_overlap_matrix,
             "near_dup_keep_best": _near_dup_keep_best,
             "quality_classifier_history": _quality_classifier_history,
+            "classifier_scored_by_source": _classifier_scored_by_source,
             "bm25_search_docs": _bm25_search_docs,
             "dup_span_scrub_docs": _dup_span_scrub_docs,
             "blockword_stats_docs": _blockword_stats_docs,

@@ -97,6 +97,12 @@ QUERY_NAMES = [
     "dsir_selected_docs",
     "unimax_allocation",
     "compression_ratio_by_source",
+    # r5 wave 3: CCNet perplexity terciles, Kneser-Ney smoothing, corpus
+    # health scan, mixture-redundancy matrix
+    "perplexity_buckets_docs",
+    "kneser_ney_bits_by_source",
+    "zipf_corpus_stats",
+    "source_overlap_matrix",
 ]
 
 
