@@ -1441,6 +1441,31 @@ def _source_overlap_matrix(sf_dir: str):
     return source_overlap_jaccard(ds, "text", "source", n=3)
 
 
+def _distinct_ngrams_by_source(sf_dir: str):
+    """distinct-n diversity per source (stages/diversity.
+    distinct_ngram_stats, Li 2016 / Texygen): share of distinct 3-grams
+    among all 3-gram positions — the text-degeneration signal beside
+    repetition/compression gates. One gram-hash-keyed exchange;
+    REAL-SQL-oracled (string-compared grams)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.diversity import distinct_ngram_stats
+
+    ds = _pq(sf_dir, "documents", ["text", "source"])
+    return distinct_ngram_stats(ds, "text", "source", n=3)
+
+
+def _flesch_by_source(sf_dir: str):
+    """Flesch reading-ease per source (stages/readability.
+    flesch_by_group, Flesch 1948 / Kincaid 1975) — the FineWeb-Edu-style
+    audience-level stratifier. Pure map + one group-keyed exchange;
+    REAL-SQL-oracled (identical regexes both sides)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.readability import flesch_by_group
+
+    ds = _pq(sf_dir, "documents", ["text", "source"])
+    return flesch_by_group(ds, "text", "source")
+
+
 # --------------- registrable domains (stages/domains.py) --------------------
 
 # url hosts PLANTED with suffix variety (ML2 public suffix, www/deep
@@ -2170,6 +2195,8 @@ _PRIORITY_QUERIES = [
     "zipf_corpus_stats",
     "source_overlap_matrix",
     "classifier_scored_by_source",
+    "distinct_ngrams_by_source",
+    "flesch_by_source",
     "unimax_allocation",
     "dsir_selected_docs",
     "compression_ratio_by_source",
@@ -2307,6 +2334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kneser_ney_bits_by_source": _kneser_ney_bits_by_source,
             "zipf_corpus_stats": _zipf_corpus_stats,
             "source_overlap_matrix": _source_overlap_matrix,
+            "distinct_ngrams_by_source": _distinct_ngrams_by_source,
+            "flesch_by_source": _flesch_by_source,
             "near_dup_keep_best": _near_dup_keep_best,
             "quality_classifier_history": _quality_classifier_history,
             "classifier_scored_by_source": _classifier_scored_by_source,
@@ -2474,6 +2503,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["source_overlap_matrix"] = source_overlap_sql(
         "documents", "text", "source", n=3)
+    from docprocai_service_ray.stages.diversity import distinct_ngram_sql
+
+    sql["distinct_ngrams_by_source"] = distinct_ngram_sql(
+        "documents", "text", "source", n=3)
+    from docprocai_service_ray.stages.readability import flesch_sql
+
+    sql["flesch_by_source"] = flesch_sql("documents", "text", "source")
     from docprocai_service_ray.stages.bm25 import bm25_sql
 
     sql["bm25_search_docs"] = bm25_sql(
