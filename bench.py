@@ -213,21 +213,13 @@ def run_headline(num_cpus: int, skip_queries: bool = False) -> dict:
     if not skip_queries:
         import __ray_entry__ as _entry
 
-        lookup = dict(QUERIES)
-        lookup.update(_entry.queries())
-        for name in QUERY_NAMES:
-            t0 = time.monotonic()
-            r = lookup[name](SF_DIR)
-            if hasattr(r, "to_pandas"):
-                r.to_pandas()
-            queries[name] = round(time.monotonic() - t0, 3)
-        # link-graph MARGINAL cost at full corpus scale: the fused run
-        # already extracted per-row link partials in the main pass, so
-        # deriving the host edge table is one explode + grouped sum over
-        # the materialized docs table — NOT a second raw-html scan (which
-        # is what this slot timed through r3: ~7 s vs the fused ~1-2 s).
-        # pagerank reuses the materialized edge table like a real pipeline
-        # would — its number is the iteration cost.
+        # link-graph MARGINAL cost at full corpus scale FIRST (same scope
+        # as r3/r4): the fused run already extracted per-row link partials
+        # in the main pass, so deriving the host edge table is one explode
+        # + grouped sum over the materialized docs table — NOT a second
+        # raw-html scan (which is what this slot timed through r3: ~7 s vs
+        # the fused ~1-2 s). pagerank reuses the materialized edge table
+        # like a real pipeline would — its number is the iteration cost.
         from docprocai_service_ray.stages.linkgraph import (
             host_edges_from_url_links,
             host_pagerank,
@@ -239,6 +231,25 @@ def run_headline(num_cpus: int, skip_queries: bool = False) -> dict:
         t0 = time.monotonic()
         host_pagerank(edges=edges, iters=20, cfg=cfg).to_pandas()
         queries["host_pagerank"] = round(time.monotonic() - t0, 3)
+        # drop the headline's materialized corpus-sized tables (fused-mode
+        # docs_all + triples_raw) BEFORE the query sweep: holding them in
+        # plasma through ~50 shuffle-heavy queries forces spill pressure
+        # that inflates every sweep number (observed 2-3x on the gram
+        # exchanges in the first r5 sweep)
+        res = None
+        edges = None
+        import gc
+
+        gc.collect()
+
+        lookup = dict(QUERIES)
+        lookup.update(_entry.queries())
+        for name in QUERY_NAMES:
+            t0 = time.monotonic()
+            r = lookup[name](SF_DIR)
+            if hasattr(r, "to_pandas"):
+                r.to_pandas()
+            queries[name] = round(time.monotonic() - t0, 3)
 
         # WARC ingest at corpus scale (r5): the same corpus as CC-shaped
         # gzip-per-record archives (generated once, cached — excluded
