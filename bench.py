@@ -310,11 +310,19 @@ def run_min_of(n_runs: int, num_cpus: int) -> dict:
         loads.append(round(load, 2))
         probes.append(probe)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), BENCH_ONE_SHOT="1")
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        r = json.loads(out.strip().splitlines()[-1])
+            env=env, capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            # a transient inner failure (OOM kill, Ray startup race) must
+            # not void the other runs — record it and keep going
+            sys.stderr.write(
+                f"bench inner run failed (rc={proc.returncode}); "
+                f"stderr tail:\n{proc.stderr[-2000:]}\n")
+            runs.append(None)
+            continue
+        r = json.loads(proc.stdout.strip().splitlines()[-1])
         runs.append(r["value"])
         if best is None or r["value"] < best["value"]:
             best = r
@@ -323,6 +331,8 @@ def run_min_of(n_runs: int, num_cpus: int) -> dict:
             for q, s in r.get("queries", {}).items():
                 if s < best["queries"].get(q, float("inf")):
                     best["queries"][q] = s
+    if best is None:
+        raise RuntimeError(f"all {n_runs} bench runs failed; see stderr")
     best["pages_per_sec"] = round(best["pages"] / best["value"], 1)
     best["runs_sec"] = runs
     best["loadavg_at_launch"] = loads
