@@ -319,7 +319,7 @@ def run_min_of(n_runs: int, num_cpus: int) -> dict:
             # not void the other runs — record it and keep going
             sys.stderr.write(
                 f"bench inner run failed (rc={proc.returncode}); "
-                f"stderr tail:\n{proc.stderr[-2000:]}\n")
+                f"stderr tail:\n{proc.stderr[-8000:]}\n")
             runs.append(None)
             continue
         r = json.loads(proc.stdout.strip().splitlines()[-1])
