@@ -56,7 +56,10 @@ def source_overlap_jaccard(ds, text_col: str, group_col: str, *,
     def reduce_grams(part: pd.DataFrame) -> pd.DataFrame:
         part = part.drop_duplicates(["s", "gh"])
         ones = part.groupby("s", as_index=False).agg(cnt=("gh", "size"))
-        ones = pd.DataFrame({"s1": ones["s"], "s2": "", "cnt": ones["cnt"]})
+        # per-source marker rows use a NULL s2 — a source literally named
+        # "" must not collide with the marker
+        ones = pd.DataFrame({"s1": ones["s"], "s2": None, "cnt": ones["cnt"]})
+        ones["s2"] = ones["s2"].astype(object)
         m = part.merge(part, on="gh")
         m = m[m["s_x"] < m["s_y"]]
         pairs = m.groupby(["s_x", "s_y"], as_index=False).agg(
@@ -72,9 +75,9 @@ def source_overlap_jaccard(ds, text_col: str, group_col: str, *,
                          num_partitions=num_partitions),
         ["s1", "s2", "cnt"])
 
-    per_src = (partials[partials["s2"] == ""].groupby("s1")["cnt"].sum()
-               .to_dict())
-    per_pair = (partials[partials["s2"] != ""]
+    unary = partials["s2"].isna()
+    per_src = partials[unary].groupby("s1")["cnt"].sum().to_dict()
+    per_pair = (partials[~unary]
                 .groupby(["s1", "s2"])["cnt"].sum().to_dict())
     rows = []
     for a, b in itertools.combinations(sorted(per_src), 2):
