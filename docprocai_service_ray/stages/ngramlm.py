@@ -191,6 +191,13 @@ def doc_bigram_bits(ds, id_col: str, text_col: str, group_col: str, *,
     scored = hash_join(grams, stats, on=["l", "r"])
 
     def doc_partial(df: pd.DataFrame, vocab=vocab) -> pd.DataFrame:
+        if not len(df):  # post-join blocks can arrive column-less empty
+            dt = df[id_col].dtype if id_col in df.columns else "int64"
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=dt),
+                group_col: pd.Series([], dtype=object),
+                "b": pd.Series([], dtype="float64"),
+                "n": pd.Series([], dtype="int64")})
         bits = -np.log2((df["c"] + k) / (df["cl"] + k * vocab))
         return pd.DataFrame({
             id_col: df[id_col], group_col: df[group_col],
@@ -243,6 +250,12 @@ def perplexity_buckets(ds, id_col: str, text_col: str, group_col: str, *,
     c2 = dict(zip(cuts[group_col], cuts["qd_67"]))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # materialized docbits can carry empty blocks
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                group_col: pd.Series([], dtype=object),
+                "bits": pd.Series([], dtype="float64"),
+                "bucket": pd.Series([], dtype=object)})
         lo = df[group_col].map(c1).to_numpy(dtype=np.float64)
         hi = df[group_col].map(c2).to_numpy(dtype=np.float64)
         b = df["bits"].to_numpy(dtype=np.float64)
@@ -368,6 +381,13 @@ def kneser_ney_bits(ds, id_col: str, text_col: str, group_col: str, *,
                        cont, on=["r"])
 
     def doc_partial(df: pd.DataFrame, t=n_types) -> pd.DataFrame:
+        if not len(df):  # post-join blocks can arrive column-less empty
+            dt = df[id_col].dtype if id_col in df.columns else "int64"
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=dt),
+                group_col: pd.Series([], dtype=object),
+                "b": pd.Series([], dtype="float64"),
+                "n": pd.Series([], dtype="int64")})
         c = df["c"].to_numpy(dtype=np.float64)
         p = (np.maximum(c - discount, 0.0)
              + discount * df["nl"].to_numpy(np.float64)

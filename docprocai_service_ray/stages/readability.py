@@ -42,6 +42,11 @@ def flesch_by_group(ds, text_col: str, group_col: str, *,
     from ..state.groupby import partition_reduce
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # column-less empty blocks carry no text col
+            return pd.DataFrame({"g": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="float64"),
+                                 "fl": pd.Series([], dtype="float64")})
         t = df[text_col].fillna("")
         w = t.str.count(_WORD_RE).to_numpy(dtype=np.float64)
         s = np.maximum(t.str.count(_SENT_RE).to_numpy(dtype=np.float64),

@@ -27,7 +27,13 @@ from .ngramlm import _TOKEN_RE
 def _word_counts(ds, text_col: str, num_partitions: int | None):
     from ..state.groupby import partition_reduce
 
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"w": pd.Series([], dtype=object),
+                             "c": pd.Series([], dtype="int64")})
+
     def toks(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # column-less empty blocks carry no text col
+            return _empty()
         t = df[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
         e = pd.DataFrame({"w": t}).explode("w").dropna()
         return e.groupby("w", as_index=False).agg(c=("w", "size"))
@@ -54,6 +60,10 @@ def zipf_law_stats(ds, text_col: str, *, top_k: int = 1000,
     wc = _word_counts(ds, text_col, num_partitions).materialize()
 
     def scalars(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"types": [np.int64(0)],
+                                 "tokens": [np.int64(0)],
+                                 "hapax": [np.int64(0)]})
         return pd.DataFrame({
             "types": [np.int64(len(df))],
             "tokens": [df["c"].sum()],
@@ -66,6 +76,8 @@ def zipf_law_stats(ds, text_col: str, *, top_k: int = 1000,
                                   int(sc["hapax"]))
 
     def local_top(df: pd.DataFrame, k=top_k) -> pd.DataFrame:
+        if not len(df):
+            return _empty()
         return df.sort_values(["c", "w"], ascending=[False, True]).head(k)
 
     top = (collect_pandas(
