@@ -103,6 +103,9 @@ QUERY_NAMES = [
     "kneser_ney_bits_by_source",
     "zipf_corpus_stats",
     "source_overlap_matrix",
+    "classifier_scored_by_source",
+    "distinct_ngrams_by_source",
+    "flesch_by_source",
 ]
 
 
