@@ -1466,6 +1466,84 @@ def _flesch_by_source(sf_dir: str):
     return flesch_by_group(ds, "text", "source")
 
 
+def _taxonomy_by_source(sf_dir: str):
+    """Rule-based taxonomy routing (stages/taxonomy.taxonomy_stats):
+    every doc gets its DOMINANT keyword-family topic (first-wins argmax
+    over match counts — the deterministic cousin of WebOrganizer-style
+    domain classifiers; reference analog: content-kind dispatch,
+    DocProcAiService.py routing by media type). Per-batch (source, topic)
+    partials, one small grouped-sum exchange; REAL-SQL-oracled (the CASE
+    ladder provably equals numpy's first-wins argmax)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.taxonomy import taxonomy_stats
+
+    ds = _pq(sf_dir, "documents", ["text", "source"])
+    return taxonomy_stats(ds, "source", "text")
+
+
+# SoftDeDup planting: every doc_id%4==0 doc becomes one of the shared
+# templates (exact-dup clusters of known shape); the engine plants the
+# same transform in pandas.
+_SOFTDEDUP_PLANTED_SQL = (
+    "(SELECT source, CASE WHEN doc_id % 4 = 0 THEN 'dup template ' || "
+    "CAST(doc_id % 6 AS VARCHAR) ELSE coalesce(text, '') END AS text "
+    "FROM documents)"
+)
+
+
+def _soft_dedup_by_source(sf_dir: str):
+    """SoftDeDup duplication reweighting (stages/softdedup, He et al.
+    2024): instead of dropping duplicates, weight each doc by its exact-
+    dup cluster size**-beta; the per-source scorecard reports doc counts,
+    distinct texts, docs-in-dup-clusters and the EFFECTIVE (weight-
+    summed) corpus size. One hash-keyed exchange of (h, source, cnt)
+    partials — text never ships. REAL-SQL-oracled: the twin groups by the
+    text itself, so a u64 collision would surface as a mismatch."""
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.softdedup import soft_dedup_stats
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        dup = "dup template " + (df["doc_id"] % 6).astype(str)
+        return pd.DataFrame({"source": df["source"],
+                             "text": t.where(df["doc_id"] % 4 != 0, dup)})
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+    return soft_dedup_stats(planted, "source", "text", beta=0.5)
+
+
+def _semantic_decontam_topk(sf_dir: str):
+    """Semantic decontamination retrieval (stages/similarity.
+    multi_query_topk): for every benchmark embedding (vec_id%17==0 — the
+    small fixed eval side), the top-3 nearest TRAINING vectors by cosine
+    — the embedding-space complement of n-gram decontamination
+    (decontam_by_source), Brown et al. 2020 §C generalized. The benchmark
+    matrix broadcasts once (ray.put); each block does one (n,d)@(d,B)
+    matmul + vectorized per-column argpartition, so the merge exchange is
+    n_blocks·k·B candidate rows, never the corpus. REAL-SQL-oracled
+    (list_cosine_similarity + row_number twin)."""
+    import numpy as np
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.similarity import multi_query_topk
+    from docprocai_service_ray.state.joins import collect_broadcast_df
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    bench = collect_broadcast_df(
+        ds.map_batches(lambda df: df[df["vec_id"] % 17 == 0],
+                       batch_format="pandas"),
+        ["vec_id", "embedding"])
+    qmat = np.asarray(list(bench["embedding"]), dtype=np.float64)
+    corpus = ds.map_batches(lambda df: df[df["vec_id"] % 17 != 0],
+                            batch_format="pandas")
+    return multi_query_topk(corpus, qmat, bench["vec_id"].to_numpy(), 3,
+                            extra_cols=("label",))
+
+
 # --------------- registrable domains (stages/domains.py) --------------------
 
 # url hosts PLANTED with suffix variety (ML2 public suffix, www/deep
@@ -2190,6 +2268,9 @@ _PRIORITY_QUERIES = [
     "released_corpus_stats",
     "training_shards_stats",
     # r5 additions — never sampled before this round
+    "taxonomy_by_source",
+    "soft_dedup_by_source",
+    "semantic_decontam_topk",
     "perplexity_buckets_docs",
     "kneser_ney_bits_by_source",
     "zipf_corpus_stats",
@@ -2350,6 +2431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "normalized_text_docs": _normalized_text_docs,
             "released_corpus_stats": _released_corpus_stats,
             "training_shards_stats": _training_shards_stats,
+            "taxonomy_by_source": _taxonomy_by_source,
+            "soft_dedup_by_source": _soft_dedup_by_source,
+            "semantic_decontam_topk": _semantic_decontam_topk,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -2510,6 +2594,17 @@ def oracle_sql() -> dict[str, str]:
     from docprocai_service_ray.stages.readability import flesch_sql
 
     sql["flesch_by_source"] = flesch_sql("documents", "text", "source")
+    from docprocai_service_ray.stages.taxonomy import taxonomy_sql
+
+    sql["taxonomy_by_source"] = taxonomy_sql("documents", "text", "source")
+    from docprocai_service_ray.stages.softdedup import soft_dedup_sql
+
+    sql["soft_dedup_by_source"] = soft_dedup_sql(
+        _SOFTDEDUP_PLANTED_SQL, "source", "text", beta=0.5)
+    from docprocai_service_ray.stages.similarity import multi_query_topk_sql
+
+    sql["semantic_decontam_topk"] = multi_query_topk_sql(
+        "embeddings", "vec_id % 17 = 0", 3, extra_cols=("label",))
     from docprocai_service_ray.stages.bm25 import bm25_sql
 
     sql["bm25_search_docs"] = bm25_sql(

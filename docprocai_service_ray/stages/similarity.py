@@ -133,6 +133,110 @@ def lsh_topk(ds, query: np.ndarray, k: int, *, dim: int, n_planes: int = 8,
                             extra_cols=extra_cols)
 
 
+def multi_query_topk(ds, queries: np.ndarray, query_ids, k: int, *,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     extra_cols: tuple = (),
+                     num_partitions: int | None = 8):
+    """Batched exact cosine top-k for MANY queries in one corpus pass —
+    the kernel behind semantic decontamination (flag training docs too
+    close to any benchmark item, Brown et al. 2020 §C generalized to
+    embeddings) and batched retrieval-style eval.
+
+    ``queries`` is a (B, d) matrix with ``query_ids`` (length B) — the
+    SMALL, fixed side (a benchmark set); it ships once via ``ray.put``
+    and every block does ONE (n, d) @ (d, B) matmul, then a vectorized
+    per-column argpartition — per-block cost is k·B candidate rows, so
+    the merge exchange is bounded by n_blocks·k·B, never the corpus.
+    Final per-query top-k is a query-keyed partition reduce (nlargest),
+    emitting (query_id, rank, id, *extra_cols) with rank 1..k ordered by
+    (score desc, id asc) — float scores stay internal so the output is
+    exactly hash-comparable against the SQL twin's row_number().
+
+    → Dataset(query_id, rank, id, *extra_cols), sorted (query_id, rank).
+    """
+    qmat = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    q_ref = ray.put(qmat / qn[:, None])
+    qids = np.asarray(query_ids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)  # (B, d), rows unit-norm
+        mat = _as_matrix(batch[emb_col])
+        empty = {
+            "query_id": pa.array([], pa.array(qids[:0]).type),
+            id_col: pa.array([], batch[id_col].type),
+            **{c: pa.array([], batch[c].type) for c in extra_cols},
+            "score": pa.array([], pa.float64()),
+        }
+        if mat.shape[0] == 0 or qm.shape[0] == 0:
+            return pa.Table.from_pydict(empty)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (mat @ qm.T) / norms[:, None]  # (n, B)
+        kk = min(k, scores.shape[0])
+        idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, B)
+        flat = idx.T.ravel()  # query-major
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[flat]
+        cols = {
+            "query_id": pa.array(np.repeat(qids, kk)),
+            id_col: pa.array(ids),
+            "score": pa.array(
+                np.take_along_axis(scores, idx, axis=0).T.ravel(),
+                pa.float64()),
+        }
+        for c in extra_cols:
+            cols[c] = pa.array(
+                batch[c].to_numpy(zero_copy_only=False)[flat])
+        return pa.Table.from_pydict(
+            {n: cols.get(n, empty[n]) for n in
+             ("query_id", id_col, *extra_cols, "score")})
+
+    cands = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_query(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["score", id_col],
+                                ascending=[False, True], kind="stable")
+        top = part.groupby("query_id", as_index=False, sort=False).head(k)
+        top = top.sort_values(["query_id", "score", id_col],
+                              ascending=[True, False, True], kind="stable")
+        top["rank"] = top.groupby("query_id").cumcount() + 1
+        cols = ["query_id", "rank", id_col, *extra_cols]
+        return top[cols].astype({"rank": "int64"})
+
+    from ..state.groupby import partition_reduce
+
+    return partition_reduce(cands, ["query_id"], per_query,
+                            num_partitions=num_partitions).sort(
+        ["query_id", "rank"])
+
+
+def multi_query_topk_sql(table: str, bench_pred: str, k: int, *,
+                         id_col: str = "vec_id", emb_col: str = "embedding",
+                         extra_cols: tuple = ()) -> str:
+    """DuckDB twin of :func:`multi_query_topk` where the query set is the
+    ``bench_pred`` rows of ``table`` and the corpus is the rest —
+    ``list_cosine_similarity`` + ``row_number()`` per query (same
+    (score desc, id asc) order as the engine's rank)."""
+    extras = "".join(f", c.{c}" for c in extra_cols)
+    out_extras = "".join(f", {c}" for c in extra_cols)
+    return f"""
+        WITH b AS (SELECT {id_col} AS query_id, {emb_col} AS qe
+                   FROM {table} WHERE {bench_pred}),
+        c AS (SELECT * FROM {table} WHERE NOT ({bench_pred})),
+        s AS (SELECT b.query_id, c.{id_col}{extras},
+                     list_cosine_similarity(c.{emb_col}, b.qe) AS score
+              FROM c CROSS JOIN b)
+        SELECT query_id, "rank", {id_col}{out_extras} FROM (
+            SELECT query_id, {id_col}{out_extras},
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, {id_col})
+                       AS "rank"
+            FROM s) WHERE "rank" <= {k}
+    """
+
+
 def embedding_near_dup_pairs(ds, *, dim: int, threshold: float = 0.95,
                              n_planes: int = 10, seed: int = 42,
                              id_col: str = "vec_id", emb_col: str = "embedding",
