@@ -689,6 +689,20 @@ def _released_corpus_stats(sf_dir: str):
                                  cfg=_CFG)
 
 
+def _release_funnel_stats(sf_dir: str):
+    """Release-chain FUNNEL (pipelines/curate.release_funnel_stats):
+    exact doc counts surviving each macro stage of the flagship release
+    flow (raw → gopher → blockwords → line-dedup+residual → keep-best →
+    train/holdout) — the counters a 100-TB curation run watches instead
+    of diffing exports. Integer counts over the same planted corpus as
+    released_corpus_stats; golden-frozen (the chain includes the LSH
+    closure), chain properties certified in tests/test_curate.py."""
+    from docprocai_service_ray.pipelines.curate import release_funnel_stats
+
+    return release_funnel_stats(None, docs=_release_planted_docs(sf_dir),
+                                cfg=_CFG)
+
+
 def _training_shards_stats(sf_dir: str):
     """Training-shard publication (pipelines/curate.publish_training_
     shards): released train-side docs → deterministic content-hash
@@ -2244,6 +2258,9 @@ _GOLDEN_QUERIES = [
     # zlib is not expressible in DuckDB — golden pins the fixed-point
     # deterministic profile (mirror + direction in test_compressratio.py)
     "compression_ratio_by_source",
+    # release-chain funnel counters: same LSH-closure chain as
+    # released_corpus_stats — golden pins the exact per-stage counts
+    "release_funnel_stats",
 ]
 
 
@@ -2271,6 +2288,7 @@ _PRIORITY_QUERIES = [
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
+    "release_funnel_stats",
     "perplexity_buckets_docs",
     "kneser_ney_bits_by_source",
     "zipf_corpus_stats",
@@ -2434,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "taxonomy_by_source": _taxonomy_by_source,
             "soft_dedup_by_source": _soft_dedup_by_source,
             "semantic_decontam_topk": _semantic_decontam_topk,
+            "release_funnel_stats": _release_funnel_stats,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}

@@ -173,7 +173,8 @@ def release_documents(sf_dir: str | None, *, docs=None,
                       nd_threshold: float = 0.9,
                       residual_min_words: int = 5,
                       holdout_rate: float = 0.2, seed: int = 42,
-                      cfg=None, num_partitions: int | None = None):
+                      cfg=None, num_partitions: int | None = None,
+                      stage_counts: dict | None = None):
     """The end-to-end curation RELEASE flow over the documents table —
     the chain an open-data corpus release actually runs (C4 §2.2 /
     Gopher A1 / RefinedWeb §3, composed):
@@ -190,7 +191,24 @@ def release_documents(sf_dir: str | None, *, docs=None,
     otherwise glue unrelated docs into clusters), the scrub LAST (it
     must not perturb dedup shingles). Every exchange in the chain is the
     already-audited one inside its stage (hashes / cluster labels, never
-    text beyond the line-dedup join-back)."""
+    text beyond the line-dedup join-back).
+
+    ``stage_counts``: pass a dict to record the funnel — doc counts after
+    each macro stage ({raw, gopher_gate, blockword_gate,
+    line_dedup_residual, keep_best}). Counting an intermediate requires
+    executing it, so funnel mode materializes each counted stage and
+    chains from the materialized handle (each stage still runs exactly
+    once; the object store holds one extra corpus-sized table per live
+    stage — observability mode, not the 100-TB default, which leaves
+    ``stage_counts=None`` and materializes only ``rewritten``)."""
+
+    def _count(ds_, name):
+        if stage_counts is None:
+            return ds_
+        ds_ = ds_.materialize()
+        stage_counts[name] = ds_.count()
+        return ds_
+
     from ..stages.gopher import gopher_filter
     from ..stages.keepbest import keep_best_and_split
     from ..stages.lexgate import blockword_filter
@@ -203,13 +221,15 @@ def release_documents(sf_dir: str | None, *, docs=None,
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text", "lang", "source"],
         )
+    docs = _count(docs, "raw")
     # gate calibration for the synthetic corpus: min_words=20 (short docs
     # exercise both sides of R1, same as the gopher_rules_by_source query)
     # and stop_min=0 (word-soup text has no English stop words — R7 at
     # its Gopher default would empty the corpus; real runs pass 2)
-    gated = gopher_filter(docs, "text", min_words=min_words,
-                          stop_min=stop_min)
-    clean = blockword_filter(gated, "text", list(blockwords))
+    gated = _count(gopher_filter(docs, "text", min_words=min_words,
+                                 stop_min=stop_min), "gopher_gate")
+    clean = _count(blockword_filter(gated, "text", list(blockwords)),
+                   "blockword_gate")
     deduped_lines = line_dedup(clean, "doc_id", "text",
                                num_partitions=num_partitions).drop_columns(
         ["n_lines", "n_kept"])
@@ -226,6 +246,8 @@ def release_documents(sf_dir: str | None, *, docs=None,
     rewritten = deduped_lines.map_batches(
         residual, batch_format="pandas"
     ).materialize()  # tee: kbs + join-back reuse it
+    if stage_counts is not None:
+        stage_counts["line_dedup_residual"] = rewritten.count()
     kbs = keep_best_and_split(
         rewritten, "doc_id", "text", threshold=nd_threshold,
         holdout_rate=holdout_rate, seed=seed, cfg=cfg,
@@ -239,9 +261,9 @@ def release_documents(sf_dir: str | None, *, docs=None,
                                  "split": pd.Series([], dtype=object)})
         return k[cols]
 
-    kept = hash_join(rewritten,
-                     kbs.map_batches(keepers, batch_format="pandas"),
-                     on="doc_id")
+    kept = _count(hash_join(rewritten,
+                            kbs.map_batches(keepers, batch_format="pandas"),
+                            on="doc_id"), "keep_best")
     scrubbed = pii_scrub(kept, "text")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -309,6 +331,54 @@ def released_corpus_stats(sf_dir: str | None, **kwargs):
     return partition_reduce(
         released.map_batches(partial, batch_format="pandas"),
         ["lang", "split"], final, num_partitions=4)
+
+
+_FUNNEL_ORDER = ("raw", "gopher_gate", "blockword_gate",
+                 "line_dedup_residual", "keep_best")
+
+
+def release_funnel_stats(sf_dir: str | None, **kwargs):
+    """→ DataFrame(step, stage, n_docs): the release chain's FUNNEL — how
+    many documents survive each macro stage (raw → gopher gate →
+    blockword gate → line-dedup+residual → near-dup keep-best → final
+    train/holdout sides). The observability table every large curation
+    run reads first: a stage that suddenly eats 40% of the corpus is a
+    recipe bug, and at 100 TB you want that from counters, not by
+    diffing exports. Counts are exact integers ⇒ golden-freezable (the
+    chain includes the LSH closure, so no exact SQL twin exists;
+    chain-shape properties are certified in tests/test_curate.py)."""
+    import pandas as pd
+
+    from ..state.groupby import partition_reduce
+
+    counts: dict = {}
+    released = release_documents(sf_dir, stage_counts=counts,
+                                 **kwargs).materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"split": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        return df.groupby("split", as_index=False).agg(n=("doc_id", "size"))
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("split", as_index=False).agg(
+            n=("n", "sum")).astype({"n": "int64"})
+
+    from ..state.groupby import collect_pandas
+
+    sides = collect_pandas(
+        partition_reduce(released.map_batches(partial,
+                                              batch_format="pandas"),
+                         ["split"], final, num_partitions=2),
+        ["split", "n"]).set_index("split")["n"].to_dict()
+
+    rows = [{"step": i, "stage": s, "n_docs": int(counts[s])}
+            for i, s in enumerate(_FUNNEL_ORDER)]
+    for side in ("train", "holdout"):
+        rows.append({"step": len(rows), "stage": f"released_{side}",
+                     "n_docs": int(sides.get(side, 0))})
+    return pd.DataFrame(rows)
 
 
 # --------------------------------------------------------------------------

@@ -180,6 +180,29 @@ class TestRelease:
         assert (rel["n_tokens"].to_numpy()
                 == token_counts(rel["text"]).to_numpy()).all()
 
+    def test_release_funnel(self, ray_session, tmp_path):
+        from docprocai_service_ray.pipelines.curate import (
+            release_documents, release_funnel_stats)
+
+        d = self._release_corpus(tmp_path)
+        fun = release_funnel_stats(d).set_index("stage")["n_docs"]
+        # exact per-stage drops for the planted corpus
+        assert fun["raw"] == 29
+        assert fun["gopher_gate"] == 28          # doc 201 (too short)
+        assert fun["blockword_gate"] == 27       # doc 200 (xblocked)
+        assert fun["line_dedup_residual"] == 26  # doc 101 (dup husk)
+        assert fun["keep_best"] == 25            # one of the near-dup pair
+        # the two split sides partition the keep-best survivors
+        assert (fun["released_train"] + fun["released_holdout"]
+                == fun["keep_best"])
+        # monotone non-increasing through the chain
+        chain = [fun["raw"], fun["gopher_gate"], fun["blockword_gate"],
+                 fun["line_dedup_residual"], fun["keep_best"]]
+        assert all(a >= b for a, b in zip(chain, chain[1:]))
+        # funnel mode must not change WHAT is released
+        rel = release_documents(d).to_pandas()
+        assert len(rel) == fun["keep_best"]
+
     def test_no_cluster_straddle_and_determinism(self, ray_session, tmp_path):
         import ray.data as rd
 
