@@ -106,6 +106,12 @@ QUERY_NAMES = [
     "classifier_scored_by_source",
     "distinct_ngrams_by_source",
     "flesch_by_source",
+    # r5 wave 4: topic routing for mixture design, duplication-aware soft
+    # reweighting, batched embedding decontamination, release funnel
+    "taxonomy_by_source",
+    "soft_dedup_by_source",
+    "semantic_decontam_topk",
+    "release_funnel_stats",
 ]
 
 
