@@ -1495,6 +1495,24 @@ def _taxonomy_by_source(sf_dir: str):
     return taxonomy_stats(ds, "source", "text")
 
 
+_TOPIC_RATES = {"joins": 0.5, "scan_exec": 0.25, "streaming": 1.0,
+                "columnar": 0.1}
+
+
+def _topic_stratified_docs(sf_dir: str):
+    """Topic-aware rebalancing (stages/taxonomy.topic_stratified_sample):
+    route each doc to its dominant topic, then sample at a per-topic rate
+    (the mixture-design step after routing — downsample the head topics,
+    keep the scarce ones). Two pure maps, zero exchange; REAL-SQL-oracled
+    (taxonomy CASE ladder + the exact md5-threshold predicate)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.taxonomy import topic_stratified_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return topic_stratified_sample(ds, "doc_id", "text", _TOPIC_RATES,
+                                   default_rate=1.0, seed=_CFG.seed)
+
+
 # SoftDeDup planting: every doc_id%4==0 doc becomes one of the shared
 # templates (exact-dup clusters of known shape); the engine plants the
 # same transform in pandas.
@@ -2289,6 +2307,7 @@ _PRIORITY_QUERIES = [
     "soft_dedup_by_source",
     "semantic_decontam_topk",
     "release_funnel_stats",
+    "topic_stratified_docs",
     "perplexity_buckets_docs",
     "kneser_ney_bits_by_source",
     "zipf_corpus_stats",
@@ -2453,6 +2472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "soft_dedup_by_source": _soft_dedup_by_source,
             "semantic_decontam_topk": _semantic_decontam_topk,
             "release_funnel_stats": _release_funnel_stats,
+            "topic_stratified_docs": _topic_stratified_docs,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}
@@ -2624,6 +2644,11 @@ def oracle_sql() -> dict[str, str]:
 
     sql["semantic_decontam_topk"] = multi_query_topk_sql(
         "embeddings", "vec_id % 17 = 0", 3, extra_cols=("label",))
+    from docprocai_service_ray.stages.taxonomy import topic_stratified_sql
+
+    sql["topic_stratified_docs"] = topic_stratified_sql(
+        "documents", "doc_id", "text", _TOPIC_RATES, default_rate=1.0,
+        seed=_CFG.seed)
     from docprocai_service_ray.stages.bm25 import bm25_sql
 
     sql["bm25_search_docs"] = bm25_sql(

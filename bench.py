@@ -112,6 +112,7 @@ QUERY_NAMES = [
     "soft_dedup_by_source",
     "semantic_decontam_topk",
     "release_funnel_stats",
+    "topic_stratified_docs",
 ]
 
 

@@ -117,11 +117,12 @@ def taxonomy_stats(ds, group_col: str, text_col: str, *,
         [group_col, "topic"], final, num_partitions=num_partitions)
 
 
-def taxonomy_sql(table: str, text_col: str, group_col: str,
-                 rules=DEFAULT_RULES) -> str:
-    """DuckDB twin of :func:`taxonomy_stats` — per-rule match counts via
-    ``regexp_extract_all`` (RE2 counts non-overlapping, same as
-    ``str.count``), first-wins CASE ladder mirroring argmax order."""
+def _sql_scores_and_case(text_col: str, rules) -> tuple[str, str, str]:
+    """Shared SQL fragments: per-rule score columns, the comma-joined
+    score names, and the first-wins CASE ladder (provably equal to
+    numpy's first-max argmax: the ladder picks the smallest i with
+    c_i >= max(c_{i+1..}), which is exactly the first index attaining
+    the maximum)."""
     score_cols = ", ".join(
         f"len(regexp_extract_all(lower(coalesce({text_col}, '')), "
         f"'{pat}')) AS c{i}"
@@ -132,7 +133,15 @@ def taxonomy_sql(table: str, text_col: str, group_col: str,
         later = [f"c{i} >= c{j}" for j in range(i + 1, len(rules))]
         cond = " AND ".join(later) if later else "TRUE"
         ladder.append(f"WHEN {cond} THEN '{topic}'")
-    case = "CASE " + " ".join(ladder) + " END"
+    return score_cols, all_cs, "CASE " + " ".join(ladder) + " END"
+
+
+def taxonomy_sql(table: str, text_col: str, group_col: str,
+                 rules=DEFAULT_RULES) -> str:
+    """DuckDB twin of :func:`taxonomy_stats` — per-rule match counts via
+    ``regexp_extract_all`` (RE2 counts non-overlapping, same as
+    ``str.count``), first-wins CASE ladder mirroring argmax order."""
+    score_cols, all_cs, case = _sql_scores_and_case(text_col, rules)
     return f"""
         WITH s AS (
             SELECT {group_col}, {score_cols} FROM {table}
@@ -144,4 +153,43 @@ def taxonomy_sql(table: str, text_col: str, group_col: str,
         SELECT {group_col}, topic, COUNT(*) AS n_docs,
                SUM(hits)::BIGINT AS n_hits
         FROM t GROUP BY 1, 2
+    """
+
+
+def topic_stratified_sample(ds, id_col: str, text_col: str,
+                            rates: dict[str, float], *,
+                            rules=DEFAULT_RULES, default_rate: float = 0.0,
+                            seed: int = 42):
+    """Topic-aware corpus rebalancing — route every doc to its dominant
+    topic, then apply a DIFFERENT deterministic sampling rate per topic
+    (upsample scarce topics, downsample the head — the mixture-design
+    step after a routing pass). Pure composition of
+    :func:`taxonomy_assign` and ``stages/sampling.stratified_sample``:
+    two maps, zero exchange, parallelism-invariant, exactly
+    SQL-reproducible. → Dataset(id, topic)."""
+    from .sampling import stratified_sample
+
+    assigned = taxonomy_assign(ds, id_col, text_col, rules=rules)
+    return stratified_sample(assigned.drop_columns(["hits"]), id_col,
+                             "topic", rates, default_rate=default_rate,
+                             seed=seed)
+
+
+def topic_stratified_sql(table: str, id_col: str, text_col: str,
+                         rates: dict[str, float], *, rules=DEFAULT_RULES,
+                         default_rate: float = 0.0, seed: int = 42) -> str:
+    """DuckDB twin of :func:`topic_stratified_sample` — the taxonomy CASE
+    ladder in a CTE, then the exact stratified md5-threshold predicate."""
+    from .sampling import stratified_sql_predicate
+
+    score_cols, _, case = _sql_scores_and_case(text_col, rules)
+    pred = stratified_sql_predicate(id_col, "topic", rates,
+                                    default_rate=default_rate, seed=seed)
+    return f"""
+        WITH s AS (
+            SELECT {id_col}, {score_cols} FROM {table}
+        ), t AS (
+            SELECT {id_col}, {case} AS topic FROM s
+        )
+        SELECT {id_col}, topic FROM t WHERE {pred}
     """

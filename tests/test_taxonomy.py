@@ -94,6 +94,33 @@ def test_custom_rules_and_invariance(corpus):
     pd.testing.assert_frame_equal(base, again)
 
 
+def test_topic_stratified_sample(corpus):
+    from docprocai_service_ray.stages.taxonomy import (
+        topic_stratified_sample, topic_stratified_sql)
+
+    rates = {"joins": 0.5, "scan_exec": 0.0, "streaming": 1.0,
+             "columnar": 0.2}
+    got = (topic_stratified_sample(rd.from_pandas(corpus), "doc_id",
+                                   "text", rates, default_rate=1.0)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs", corpus)
+    want = (con.execute(topic_stratified_sql("docs", "doc_id", "text",
+                                             rates, default_rate=1.0))
+            .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # rate-0 stratum fully dropped, rate-1 strata fully kept
+    assert not (got["topic"] == "scan_exec").any()
+    full = route_topics(corpus["text"])
+    full_by = pd.DataFrame({"doc_id": corpus["doc_id"].to_numpy(),
+                            "topic": full["topic"].to_numpy()})
+    for t in ("streaming", OTHER_TOPIC):
+        assert (got["topic"] == t).sum() == (full_by["topic"] == t).sum()
+    # sampled set is a subset of the full routing, same topic per doc
+    merged = got.merge(full_by, on="doc_id", suffixes=("", "_full"))
+    assert (merged["topic"] == merged["topic_full"]).all()
+
+
 def test_totals_preserved(corpus):
     out = taxonomy_stats(rd.from_pandas(corpus), "source", "text").to_pandas()
     assert out["n_docs"].sum() == len(corpus)
