@@ -1850,6 +1850,32 @@ def _dsir_selected_docs(sf_dir: str):
                        buckets=4096, seed=_CFG.seed)
 
 
+def _token_shard_stats(sf_dir: str):
+    """Tokenized binary shard publication (sources/tokenized.
+    export_token_shards): BPE-train on the corpus → sorted-vocab ids →
+    content-hash shard shuffle → ONE shard-keyed exchange writes each
+    shard's flat <u4 token stream (Megatron .bin convention) + idx
+    sidecar + manifest. Returns the manifest (shard, n_docs, n_tokens,
+    n_bytes, sha256, vocab_size) — the sha256 values PIN every byte of
+    every shard, so the golden freeze certifies bit-determinism of the
+    whole encode→shuffle→pack chain at any parallelism (asserted in
+    tests/test_tokenized.py). BPE is not SQL-expressible ⇒ golden."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.sources.tokenized import (build_bpe_vocab,
+                                                         export_token_shards)
+    from docprocai_service_ray.stages.bpe import bpe_train
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(docs, "text", num_merges=32)
+    vocab = build_bpe_vocab(docs, "text", merges)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/raykg_token_shards/v1_{tag}"
+    man = export_token_shards(docs, out, "doc_id", "text", merges, vocab,
+                              n_shards=8, seed=_CFG.seed)
+    man["vocab_size"] = np.int64(len(vocab))
+    return man
+
+
 _DEDUP_IDX_VER = "v1"
 
 
@@ -2279,6 +2305,9 @@ _GOLDEN_QUERIES = [
     # release-chain funnel counters: same LSH-closure chain as
     # released_corpus_stats — golden pins the exact per-stage counts
     "release_funnel_stats",
+    # tokenized .bin shard publication: BPE merges are not SQL; the
+    # frozen sha256 values pin every byte of every shard
+    "token_shard_stats",
 ]
 
 
@@ -2308,6 +2337,7 @@ _PRIORITY_QUERIES = [
     "semantic_decontam_topk",
     "release_funnel_stats",
     "topic_stratified_docs",
+    "token_shard_stats",
     "perplexity_buckets_docs",
     "kneser_ney_bits_by_source",
     "zipf_corpus_stats",
@@ -2473,6 +2503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "semantic_decontam_topk": _semantic_decontam_topk,
             "release_funnel_stats": _release_funnel_stats,
             "topic_stratified_docs": _topic_stratified_docs,
+            "token_shard_stats": _token_shard_stats,
         }
     )
     head = {k: q[k] for k in _PRIORITY_QUERIES}

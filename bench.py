@@ -113,6 +113,7 @@ QUERY_NAMES = [
     "semantic_decontam_topk",
     "release_funnel_stats",
     "topic_stratified_docs",
+    "token_shard_stats",
 ]
 
 
