@@ -1861,13 +1861,13 @@ def _token_shard_stats(sf_dir: str):
     whole encode→shuffle→pack chain at any parallelism (asserted in
     tests/test_tokenized.py). BPE is not SQL-expressible ⇒ golden."""
     from docprocai_service_ray.pipelines.benchqueries import _pq
-    from docprocai_service_ray.sources.tokenized import (build_bpe_vocab,
-                                                         export_token_shards)
+    from docprocai_service_ray.sources.tokenized import (export_token_shards,
+                                                         vocab_from_merges)
     from docprocai_service_ray.stages.bpe import bpe_train
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
     merges = bpe_train(docs, "text", num_merges=32)
-    vocab = build_bpe_vocab(docs, "text", merges)
+    vocab = vocab_from_merges(merges)  # zero corpus passes (100-TB path)
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/raykg_token_shards/v1_{tag}"
     man = export_token_shards(docs, out, "doc_id", "text", merges, vocab,

@@ -42,6 +42,24 @@ UNK_TOKEN = "<unk>"
 EOD_TOKEN = "<eod>"
 
 
+def vocab_from_merges(merges: pd.DataFrame,
+                      alphabet: str = "abcdefghijklmnopqrstuvwxyz"
+                      ) -> pd.DataFrame:
+    """→ DataFrame(token, id) derived from the merge table ALONE — zero
+    corpus passes. Complete by construction: every symbol a BPE encode
+    can emit is either a single tokenizer-alphabet character or the
+    output of some merge (left+right), so ``alphabet ∪ merge outputs``
+    covers the encoded corpus (GPT-2-style: unused entries are harmless).
+    Ids 0=``<unk>`` / 1=``<eod>`` reserved, rest sorted — the 100-TB path
+    (:func:`build_bpe_vocab` scans the corpus for the MINIMAL vocab
+    instead; both round-trip identically, tested)."""
+    syms = set(alphabet)
+    syms.update(l + r for l, r in zip(merges["left"], merges["right"]))
+    toks = [UNK_TOKEN, EOD_TOKEN] + sorted(syms)
+    return pd.DataFrame({"token": toks,
+                         "id": np.arange(len(toks), dtype="int64")})
+
+
 def build_bpe_vocab(ds, text_col: str, merges: pd.DataFrame) -> pd.DataFrame:
     """→ DataFrame(token, id): the sorted distinct BPE symbols of the
     encoded corpus, ids 0=``<unk>`` / 1=``<eod>`` reserved. Per-batch

@@ -112,6 +112,26 @@ def test_idempotent_reexport(corpus, trained, tmp_path):
         assert os.path.getmtime(os.path.join(out, f)) == t
 
 
+def test_vocab_from_merges_superset_and_roundtrip(corpus, trained, tmp_path):
+    from docprocai_service_ray.sources.tokenized import vocab_from_merges
+
+    merges, scanned = trained
+    derived = vocab_from_merges(merges)
+    # the corpus-scanned (minimal) vocab is a subset of the derived one
+    assert set(scanned["token"]) <= set(derived["token"])
+    # exporting with the derived vocab round-trips identically
+    out = str(tmp_path / "derived")
+    export_token_shards(rd.from_pandas(corpus), out, "doc_id", "text",
+                        merges, derived, n_shards=2)
+    back = read_token_shards(out).to_pandas()
+    id2tok = dict(zip(derived["id"], derived["token"]))
+    decoded = {r["doc_id"]: [id2tok[i] for i in r["token_ids"]]
+               for _, r in back.iterrows()}
+    want = bpe_apply(rd.from_pandas(corpus), "text", merges).to_pandas()
+    for _, r in want.iterrows():
+        assert decoded[r["doc_id"]] == list(r["bpe_tokens"])
+
+
 def test_oov_maps_to_unk(corpus, trained, tmp_path):
     merges, vocab = trained
     unk = int(vocab.loc[vocab["token"] == UNK_TOKEN, "id"].iloc[0])
