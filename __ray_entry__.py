@@ -127,6 +127,17 @@ def _host_pagerank(sf_dir: str):
     return host_pagerank(_corpus_pages(sf_dir, ["url", "html"]), iters=20, cfg=_CFG)
 
 
+def _host_hits(sf_dir: str):
+    """HITS hubs & authorities over the REAL hyperlink structure of the
+    corpus, link-count weighted (stages/graph.hits via linkgraph.host_hits —
+    both tiers dense-verified at 1e-9 in tests/test_graph.py::TestHITS).
+    Iterative L2-normalized float fixpoint ⇒ golden-frozen at 8dp like
+    host_pagerank."""
+    from docprocai_service_ray.stages.linkgraph import host_hits
+
+    return host_hits(_corpus_pages(sf_dir, ["url", "html"]), iters=20, cfg=_CFG)
+
+
 def _linkgraph_sql() -> dict[str, str]:
     """Real DuckDB SQL over the SAME corpus parquet the Ray queries read.
     The path is deterministic (webgen.corpus_path); if the corpus isn't
@@ -2259,6 +2270,9 @@ _GOLDEN_QUERIES = [
     # pagerank_entities note above); edges themselves are REAL-SQL-oracled
     "host_pagerank",
     "host_pagerank_weighted",
+    # HITS over the same host graph: L2-normalized float fixpoint
+    # (both tiers dense-verified at 1e-9 in tests/test_graph.py::TestHITS)
+    "host_hits",
     # iterative clustering; bit-deterministic via fixed-point updates
     # (parallelism invariance + reference mirror in tests/test_kmeans.py)
     "kmeans_embeddings",
@@ -2332,6 +2346,7 @@ _PRIORITY_QUERIES = [
     "released_corpus_stats",
     "training_shards_stats",
     # r5 additions — never sampled before this round
+    "host_hits",
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
@@ -2449,6 +2464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "top_linked_hosts": _top_linked_hosts,
             "host_pagerank": _host_pagerank,
             "host_pagerank_weighted": _host_pagerank_weighted,
+            "host_hits": _host_hits,
             "anchor_terms": _anchor_terms,
             "stratified_docs_sample": _stratified_docs_sample,
             "similar_surfaces": _similar_surfaces,

@@ -435,3 +435,183 @@ def khop_neighborhood(triples, seed: str, k: int = 2,
         {"entity": pa.array(ordered, pa.string()),
          "hop": pa.array([visited[e] for e in ordered], pa.int64())}
     )
+
+
+def _hits_driver(edges_df: pd.DataFrame, iters: int, round_to: int | None):
+    """Sparse HITS power iteration on the driver for vocab-sized graphs —
+    O(E) numpy scatter-adds per round, edges sorted first so float
+    accumulation order (hence the rounded output) is exactly reproducible
+    regardless of block arrival order (same discipline as
+    :func:`_pagerank_driver`)."""
+    ws = (edges_df["w"].astype(float).tolist() if "w" in edges_df.columns
+          else [1.0] * len(edges_df))
+    pairs = sorted(zip(edges_df["src"].tolist(), edges_df["dst"].tolist(), ws))
+    nodes = sorted({s for s, _, _ in pairs} | {d for _, d, _ in pairs})
+    idx = {e: i for i, e in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"entity": pa.array([], pa.string()),
+                      "hub": pa.array([], pa.float64()),
+                      "authority": pa.array([], pa.float64())}))
+    src = np.fromiter((idx[s] for s, _, _ in pairs), dtype=np.int64)
+    dst = np.fromiter((idx[d] for _, d, _ in pairs), dtype=np.int64)
+    w = np.fromiter((x for _, _, x in pairs), dtype=np.float64)
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        np.add.at(a, dst, h[src] * w)
+        na = np.sqrt((a * a).sum())
+        if na > 0:
+            a = a / na
+        h = np.zeros(n)
+        np.add.at(h, src, a[dst] * w)
+        nh = np.sqrt((h * h).sum())
+        if nh > 0:
+            h = h / nh
+    if round_to is not None:
+        h, a = h.round(round_to), a.round(round_to)
+    return ray.data.from_arrow(
+        pa.table({"entity": pa.array(nodes, pa.string()),
+                  "hub": pa.array(h, pa.float64()),
+                  "authority": pa.array(a, pa.float64())}))
+
+
+def _l2_normalize(scores, col: str):
+    """Divide ``col`` by its global L2 norm (one metadata-cheap pass over a
+    materialized O(V) score table + one broadcast-scalar map)."""
+    ssq = scores.map_batches(
+        lambda df: pd.DataFrame({"s2": [float((df[col] ** 2).sum())]}),
+        batch_format="pandas",
+    ).sum("s2")
+    norm = float(np.sqrt(ssq)) if ssq else 0.0
+    if norm <= 0.0:
+        return scores
+    return scores.map_batches(
+        lambda df, norm=norm: df.assign(**{col: df[col] / norm}),
+        batch_format="pandas",
+    ).materialize()
+
+
+def hits(triples, *, iters: int = 20, num_partitions: int | None = None,
+         round_to: int | None = 8, cfg=None, weight_col: str | None = None):
+    """HITS hubs & authorities (Kleinberg 1999, public formulation) over
+    the distinct-edge view of a triple Dataset: per iteration
+    ``authority = A^T · hub`` then ``hub = A · authority``, each L2-
+    normalized. Returns (entity, hub, authority) for every node; nodes a
+    score never reaches stay exactly 0. Complements :func:`pagerank` for
+    host profiling: authorities = heavily-cited hosts, hubs = link
+    directories (the reference's Postgres KG answers "most-linked entity"
+    questions with SQL over `relation`; SegmentDbConnector.py).
+
+    Size-gated like :func:`pagerank`: within cfg.driver_unionfind_max
+    edges the sparse numpy driver kernel runs (a vocab-sized problem —
+    the host graph at web scale is O(hosts), far below corpus scale);
+    above the gate each half-iteration is ONE hash_join of the static
+    edge table against the current O(V) score table (auto broadcast /
+    shuffle tier) + one auto-sized grouped sum + one global L2 norm. The
+    edge table is materialized once and streams through every iteration;
+    only O(V) score tables materialize per round. ``weight_col`` makes
+    contributions proportional to edge multiplicity (the host-graph
+    n_links weighting).
+
+    Determinism: same contract as pagerank — the FINAL scores are rounded
+    (``round_to``), and both tiers are parity-tested against a dense
+    numpy reference at 1e-9 (tests/test_graph.py::TestHITS).
+    """
+    from ..config import KGConfig
+
+    cfg = cfg or KGConfig()
+    if weight_col is None:
+        edges = triple_edges(triples, num_partitions=num_partitions).materialize()
+    else:
+        edges = triples.map_batches(
+            lambda t: t.select(["subject_id", "object_id", weight_col])
+            .rename_columns(["src", "dst", "w"]),
+            batch_format="pyarrow",
+        ).materialize()
+    if edges.count() <= cfg.driver_unionfind_max:
+        cols = ["src", "dst"] + (["w"] if weight_col is not None else [])
+        return _hits_driver(collect_pandas(edges, cols), iters, round_to)
+
+    nodes = distinct_rows(
+        edges.map_batches(
+            lambda t: pa.table({"entity": pa.concat_arrays(
+                [c.combine_chunks() for c in
+                 (t["src"].cast(pa.string()), t["dst"].cast(pa.string()))]
+            )}),
+            batch_format="pyarrow",
+        ),
+        ["entity"],
+        num_partitions=num_partitions,
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"entity": pa.array([], pa.string()),
+                      "hub": pa.array([], pa.float64()),
+                      "authority": pa.array([], pa.float64())}))
+
+    h0 = 1.0 / float(np.sqrt(n))
+    hubs = nodes.map_batches(
+        lambda t: t.append_column("hub", pa.array([h0] * len(t), pa.float64())),
+        batch_format="pyarrow",
+    ).materialize()
+    auths = None
+
+    def _sum_to(joined, out_key: str, score: str):
+        # joined rows: (out_key node, score, [w]) — emit grouped weighted sum
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            w = df["w"] if "w" in df.columns else 1.0
+            return pd.DataFrame({"entity": df[out_key], "s": df[score] * w}
+                                ).groupby("entity", as_index=False)["s"].sum()
+
+        return partition_reduce(
+            joined.map_batches(partial, batch_format="pandas"),
+            ["entity"],
+            lambda p: p.groupby("entity", as_index=False)["s"].sum(),
+            num_partitions=num_partitions,
+        ).materialize()
+
+    for _ in range(iters):
+        # authority step: edges keyed by src join the hub table
+        e_src = edges.map_batches(
+            lambda t: t.rename_columns(
+                ["entity", "dst"] + (["w"] if weight_col is not None else [])),
+            batch_format="pyarrow",
+        )
+        a_raw = _sum_to(hash_join(e_src, hubs, on="entity"), "dst", "hub")
+        auths = _l2_normalize(
+            a_raw.map_batches(
+                lambda t: t.rename_columns(["entity", "authority"]),
+                batch_format="pyarrow"),
+            "authority",
+        )
+        # hub step: edges keyed by dst join the authority table
+        e_dst = edges.map_batches(
+            lambda t: t.rename_columns(
+                ["src", "entity"] + (["w"] if weight_col is not None else [])),
+            batch_format="pyarrow",
+        )
+        h_raw = _sum_to(hash_join(e_dst, auths, on="entity"), "src", "authority")
+        hubs = _l2_normalize(
+            h_raw.map_batches(
+                lambda t: t.rename_columns(["entity", "hub"]),
+                batch_format="pyarrow"),
+            "hub",
+        )
+
+    out = hash_join(
+        hash_join(nodes, hubs, on="entity", how="left"),
+        auths, on="entity", how="left",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["hub"].fillna(0.0)
+        a = df["authority"].fillna(0.0)
+        if round_to is not None:
+            h, a = h.round(round_to), a.round(round_to)
+        return pd.DataFrame({"entity": df["entity"], "hub": h, "authority": a})
+
+    return out.map_batches(finish, batch_format="pandas")

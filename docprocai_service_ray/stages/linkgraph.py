@@ -329,6 +329,31 @@ def host_pagerank(pages=None, *, edges=None, iters: int = 20, cfg=None,
     )
 
 
+def host_hits(pages=None, *, edges=None, iters: int = 20, cfg=None,
+              weighted: bool = True, **kwargs):
+    """HITS hubs & authorities over the host link graph (reuses
+    stages/graph.hits: same size-gated tiers, same dense-numpy-verified
+    kernel). ``weighted=True`` (the default) weights each contribution by
+    the cross-host link count — a directory page linking a host 40 times
+    is a stronger hub signal than a single citation. Returns (host, hub,
+    authority), both L2-normalized."""
+    from .graph import hits
+
+    if edges is None:
+        edges = host_link_edges(pages, **kwargs)
+    as_triples = edges.map_batches(
+        lambda t: t.select(["src_host", "dst_host", "n_links"]).rename_columns(
+            ["subject_id", "object_id", "n_links"]),
+        batch_format="pyarrow",
+    )
+    scored = hits(as_triples, iters=iters, cfg=cfg,
+                  weight_col="n_links" if weighted else None)
+    return scored.map_batches(
+        lambda t: t.rename_columns(["host", "hub", "authority"]),
+        batch_format="pyarrow",
+    )
+
+
 def linkgraph_sql(pages_glob: str) -> str:
     """DuckDB oracle for :func:`host_link_edges` over the SAME parquet.
 

@@ -251,3 +251,96 @@ class TestWeightedPagerank:
         u = pagerank(ds, iters=10).to_pandas()
         merged = w.merge(u, on="entity", suffixes=("_w", "_u"))
         assert (merged["rank_w"] != merged["rank_u"]).any()
+
+
+def _dense_hits(edges: pd.DataFrame, iters: int):
+    """Dense-matrix HITS reference: a = A^T h, h = A a, L2-normalized."""
+    cols = list(edges.columns)
+    has_w = "w" in cols
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {e: i for i, e in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for row in edges.itertuples(index=False):
+        adj[idx[row.src], idx[row.dst]] = row.w if has_w else 1.0
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = adj.T @ h
+        na = np.linalg.norm(a)
+        if na > 0:
+            a /= na
+        h = adj @ a
+        nh = np.linalg.norm(h)
+        if nh > 0:
+            h /= nh
+    return ({e: h[idx[e]] for e in nodes}, {e: a[idx[e]] for e in nodes})
+
+
+class TestHITS:
+    @pytest.mark.parametrize("tier", ["driver", "distributed"])
+    def test_matches_dense_reference(self, triples, tier):
+        import dataclasses
+
+        from docprocai_service_ray.config import KGConfig
+        from docprocai_service_ray.stages.graph import hits
+
+        cfg = KGConfig()
+        if tier == "distributed":
+            cfg = dataclasses.replace(cfg, driver_unionfind_max=0)
+        edges = _triples_df()[["subject_id", "object_id"]].drop_duplicates()
+        edges.columns = ["src", "dst"]
+        want_h, want_a = _dense_hits(edges, 12)
+        rows = hits(triples, iters=12, round_to=None, cfg=cfg).take_all()
+        got_h = {r["entity"]: r["hub"] for r in rows}
+        got_a = {r["entity"]: r["authority"] for r in rows}
+        assert set(got_h) == set(want_h)
+        for e in want_h:
+            assert got_h[e] == pytest.approx(want_h[e], abs=1e-9)
+            assert got_a[e] == pytest.approx(want_a[e], abs=1e-9)
+
+    @pytest.mark.parametrize("tier", ["driver", "distributed"])
+    def test_weighted_matches_dense(self, ray_session, tier):
+        import dataclasses
+
+        from docprocai_service_ray.config import KGConfig
+        from docprocai_service_ray.stages.graph import hits
+
+        cfg = KGConfig()
+        if tier == "distributed":
+            cfg = dataclasses.replace(cfg, driver_unionfind_max=0)
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame({
+            "subject_id": [f"h{rng.randint(0, 30):02d}" for _ in range(300)],
+            "object_id": [f"h{rng.randint(0, 40):02d}" for _ in range(300)],
+        })
+        df = df[df.subject_id != df.object_id]
+        df = df.groupby(["subject_id", "object_id"], as_index=False).size()
+        df.columns = ["subject_id", "object_id", "n_links"]
+        ds = rd.from_pandas(df).repartition(5)
+        edges = df.rename(columns={"subject_id": "src", "object_id": "dst",
+                                   "n_links": "w"})
+        want_h, want_a = _dense_hits(edges, 10)
+        rows = hits(ds, iters=10, round_to=None, cfg=cfg,
+                    weight_col="n_links").take_all()
+        assert len(rows) == len(want_h)
+        for r in rows:
+            assert r["hub"] == pytest.approx(want_h[r["entity"]], abs=1e-9)
+            assert r["authority"] == pytest.approx(want_a[r["entity"]], abs=1e-9)
+
+    def test_l2_norms_are_one(self, triples):
+        from docprocai_service_ray.stages.graph import hits
+
+        rows = hits(triples, iters=5).take_all()
+        h = np.array([r["hub"] for r in rows])
+        a = np.array([r["authority"] for r in rows])
+        assert np.linalg.norm(h) == pytest.approx(1.0, abs=1e-6)
+        assert np.linalg.norm(a) == pytest.approx(1.0, abs=1e-6)
+
+    def test_empty_graph(self, ray_session):
+        from docprocai_service_ray.stages.graph import hits
+
+        ds = rd.from_arrow(pa.table({
+            "subject_id": pa.array([], pa.string()),
+            "object_id": pa.array([], pa.string())}))
+        assert hits(ds, iters=3).count() == 0

@@ -123,6 +123,22 @@ class TestCorpusParity:
         hubs = {f"site{s}.example" for s in (7, 48, 89, 130, 171)}
         assert len(top5 & hubs) >= 4
 
+    def test_host_hits_authorities_and_norms(self, corpus_parquet):
+        from docprocai_service_ray.stages.linkgraph import host_hits
+
+        pages = rd.read_parquet(corpus_parquet, columns=["url", "html"])
+        sc = host_hits(pages, iters=20).to_pandas()
+        # L2-normalized score vectors
+        assert abs((sc["hub"] ** 2).sum() - 1.0) < 1e-6
+        assert abs((sc["authority"] ** 2).sum() - 1.0) < 1e-6
+        # the generator's planted hub sites are heavily linked TO — in
+        # HITS terms they are the AUTHORITY head (PageRank calls the same
+        # set its rank head); ordinary sites that link out to them form
+        # the hub side
+        cited = {f"site{s}.example" for s in (7, 48, 89, 130, 171)}
+        top5_auth = set(sc.nlargest(5, "authority")["host"])
+        assert len(top5_auth & cited) >= 4
+
     def test_top_linked_hosts_ranked_by_inlinks(self, corpus_parquet):
         pages = rd.read_parquet(corpus_parquet, columns=["url", "html"])
         top = top_linked_hosts(pages, 5).to_pandas()
