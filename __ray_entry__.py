@@ -1312,6 +1312,31 @@ def _bm25_search_docs(sf_dir: str):
     return bm25_topk(ds, "doc_id", "text", _BM25_TERMS, k=10)
 
 
+def _hybrid_search_docs(sf_dir: str):
+    """Hybrid BM25+cosine retrieval fused with Reciprocal Rank Fusion
+    (stages/fusion.hybrid_search_rrf; Cormack 2009). Both legs keep their
+    distributed scoring shapes (bm25_topk candidate exchanges /
+    brute_force_topk block partials); fusion touches two depth-sized
+    lists only. REAL-SQL-oracled: DuckDB re-ranks both legs on the same
+    6dp-rounded scores and fuses with the same 1/(60+rank) sum. doc 0 is
+    the query row (vec_id 0 IS the query vector) — excluded from both
+    legs like knn_topk_cosine."""
+    import pyarrow.compute as pc
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq, _query_vec
+    from docprocai_service_ray.stages.fusion import hybrid_search_rrf
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.not_equal(t["doc_id"], 0)),
+        batch_format="pyarrow")
+    embs = _pq(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)),
+        batch_format="pyarrow")
+    return hybrid_search_rrf(
+        docs, embs, query_terms=_BM25_TERMS, query_vec=_query_vec(sf_dir),
+        k=10, depth=50)
+
+
 # --------------- quality classifier (stages/classifier.py) ------------------
 
 def _quality_classifier_history(sf_dir: str):
@@ -2347,6 +2372,7 @@ _PRIORITY_QUERIES = [
     "training_shards_stats",
     # r5 additions — never sampled before this round
     "host_hits",
+    "hybrid_search_docs",
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
@@ -2504,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "quality_classifier_history": _quality_classifier_history,
             "classifier_scored_by_source": _classifier_scored_by_source,
             "bm25_search_docs": _bm25_search_docs,
+            "hybrid_search_docs": _hybrid_search_docs,
             "dup_span_scrub_docs": _dup_span_scrub_docs,
             "blockword_stats_docs": _blockword_stats_docs,
             "oov_by_source": _oov_by_source,
@@ -2700,6 +2727,21 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bm25_search_docs"] = bm25_sql(
         "documents", "doc_id", "text", _BM25_TERMS, k=10)
+    from docprocai_service_ray.stages.fusion import rrf_sql
+
+    sql["hybrid_search_docs"] = rrf_sql(
+        bm25_sql("(SELECT * FROM documents WHERE doc_id <> 0)",
+                 "doc_id", "text", _BM25_TERMS, k=50),
+        """
+        SELECT e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(e.embedding, q.embedding), 6)
+                   AS score
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY score DESC, doc_id LIMIT 50
+        """,
+        "doc_id", k=10)
     from docprocai_service_ray.stages.exactsubstr import dup_span_scrub_sql
 
     sql["dup_span_scrub_docs"] = dup_span_scrub_sql(

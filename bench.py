@@ -114,6 +114,9 @@ QUERY_NAMES = [
     "release_funnel_stats",
     "topic_stratified_docs",
     "token_shard_stats",
+    # r5 wave 5: hybrid lexical+semantic retrieval (RRF fusion of the
+    # BM25 and cosine legs)
+    "hybrid_search_docs",
 ]
 
 
