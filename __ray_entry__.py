@@ -1312,6 +1312,36 @@ def _bm25_search_docs(sf_dir: str):
     return bm25_topk(ds, "doc_id", "text", _BM25_TERMS, k=10)
 
 
+_WINNOW_KW = dict(k=16, w=24)  # shared-substring guarantee: ≥ 39 chars
+
+
+def _winnow_fps_docs(sf_dir: str):
+    """Winnowing fingerprint sets (stages/winnow; Schleimer 2003
+    all-minima variant): the distinct (doc_id, fp) table whose coverage
+    theorem guarantees any ≥ w+k-1-char shared substring surfaces as a
+    shared fp. Pure per-batch map, REAL-SQL-oracled (same k-gram md5s,
+    same window selection via two DuckDB window frames)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.winnow import winnow_fingerprints
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_fingerprints(ds, "doc_id", "text", **_WINNOW_KW)
+
+
+def _winnow_overlap_docs(sf_dir: str):
+    """Cross-document syndication map: pairs sharing ≥2 winnowing
+    fingerprints (fp-keyed posting grouping, star-capped pair emission,
+    pair-keyed partial-sum exchange — hashes and ids move, never text).
+    REAL-SQL-oracled (self-join twin; exact while no posting exceeds the
+    cap — max posting at sf0.01 is 23 docs vs cap 200)."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.winnow import winnow_overlap_pairs
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_overlap_pairs(ds, "doc_id", "text", min_shared=2,
+                                **_WINNOW_KW)
+
+
 def _hybrid_search_docs(sf_dir: str):
     """Hybrid BM25+cosine retrieval fused with Reciprocal Rank Fusion
     (stages/fusion.hybrid_search_rrf; Cormack 2009). Both legs keep their
@@ -2373,6 +2403,8 @@ _PRIORITY_QUERIES = [
     # r5 additions — never sampled before this round
     "host_hits",
     "hybrid_search_docs",
+    "winnow_fps_docs",
+    "winnow_overlap_docs",
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
@@ -2531,6 +2563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "classifier_scored_by_source": _classifier_scored_by_source,
             "bm25_search_docs": _bm25_search_docs,
             "hybrid_search_docs": _hybrid_search_docs,
+            "winnow_fps_docs": _winnow_fps_docs,
+            "winnow_overlap_docs": _winnow_overlap_docs,
             "dup_span_scrub_docs": _dup_span_scrub_docs,
             "blockword_stats_docs": _blockword_stats_docs,
             "oov_by_source": _oov_by_source,
@@ -2729,6 +2763,12 @@ def oracle_sql() -> dict[str, str]:
         "documents", "doc_id", "text", _BM25_TERMS, k=10)
     from docprocai_service_ray.stages.fusion import rrf_sql
 
+    from docprocai_service_ray.stages.winnow import winnow_pairs_sql, winnow_sql
+
+    sql["winnow_fps_docs"] = winnow_sql(
+        "documents", "doc_id", "text", **_WINNOW_KW)
+    sql["winnow_overlap_docs"] = winnow_pairs_sql(
+        "documents", "doc_id", "text", min_shared=2, **_WINNOW_KW)
     sql["hybrid_search_docs"] = rrf_sql(
         bm25_sql("(SELECT * FROM documents WHERE doc_id <> 0)",
                  "doc_id", "text", _BM25_TERMS, k=50),

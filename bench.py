@@ -115,8 +115,9 @@ QUERY_NAMES = [
     "topic_stratified_docs",
     "token_shard_stats",
     # r5 wave 5: hybrid lexical+semantic retrieval (RRF fusion of the
-    # BM25 and cosine legs)
+    # BM25 and cosine legs) + winnowing syndication map
     "hybrid_search_docs",
+    "winnow_overlap_docs",
 ]
 
 
