@@ -2123,6 +2123,16 @@ def _graph_components(sf_dir: str):
     return connected_components(_kg_run(sf_dir)["triples"], _CFG)
 
 
+def _entity_triangles(sf_dir: str):
+    """Triangle counts + local clustering coefficients over the KG
+    (stages/graph.triangle_counts: degree-ordered orientation defuses hub
+    wedge blowup; exact integer counts). SQL twin: id-ordered three-way
+    self-join over the certified golden kg_triples."""
+    from docprocai_service_ray.stages.graph import triangle_counts
+
+    return triangle_counts(_kg_run(sf_dir)["triples"])
+
+
 def _khop_neighborhood(sf_dir: str):
     from docprocai_service_ray.stages.graph import khop_neighborhood
 
@@ -2131,8 +2141,11 @@ def _khop_neighborhood(sf_dir: str):
 
 
 def _graph_sql() -> dict[str, str]:
+    from docprocai_service_ray.stages.graph import triangles_sql
+
     t = os.path.join(_GOLDEN_DIR, "kg_triples.parquet")
     return {
+        "entity_triangles": triangles_sql(f"read_parquet('{t}')"),
         "entity_degree": f"""
             WITH t AS (SELECT subject_id, object_id FROM read_parquet('{t}')),
             o AS (SELECT subject_id AS entity, COUNT(*) AS c FROM t GROUP BY 1),
@@ -2405,6 +2418,7 @@ _PRIORITY_QUERIES = [
     "hybrid_search_docs",
     "winnow_fps_docs",
     "winnow_overlap_docs",
+    "entity_triangles",
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
@@ -2518,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "curated_corpus_stats": _curated_corpus_stats,
             "doc_top_terms": _doc_top_terms,
             "graph_components": _graph_components,
+            "entity_triangles": _entity_triangles,
             "host_link_edges": _host_link_edges,
             "top_linked_hosts": _top_linked_hosts,
             "host_pagerank": _host_pagerank,

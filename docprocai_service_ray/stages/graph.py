@@ -615,3 +615,158 @@ def hits(triples, *, iters: int = 20, num_partitions: int | None = None,
         return pd.DataFrame({"entity": df["entity"], "hub": h, "authority": a})
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def triangle_counts(triples, *, num_partitions: int | None = None):
+    """Per-entity triangle counts and local clustering coefficients over
+    the UNDIRECTED distinct-edge view (self-loops dropped) — the classic
+    community-density signal the reference's Postgres KG would answer with
+    relation self-joins (SegmentDbConnector.py entity queries).
+
+    Algorithm: degree-ordered edge orientation + wedge closing (the
+    public "compact-forward" / node-iterator++ scheme, Latapy 2008).
+    Orienting every edge from its lower-(degree, id) endpoint to the
+    higher one bounds each node's OUT-degree by O(sqrt(E)) regardless of
+    hub in-degree — a web-scale hub star generates ZERO wedges at the hub
+    (all its edges point in), so per-group pair emission never goes
+    quadratic in a hub's degree. Exchanges: one distinct-edge pass, one
+    (node)-keyed degree sum, two edge×degree hash joins, one u-keyed
+    wedge emission, one composite-key wedge×edge join, one credit sum —
+    ids and small ints move, never payloads. Exact integer counts ⇒
+    REAL-SQL twin (id-ordered three-way self-join — orientation changes
+    the work, not the result)."""
+    import pyarrow.compute as pc
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t["subject_id"].cast(pa.string())
+        o = t["object_id"].cast(pa.string())
+        keep = pc.not_equal(s, o)
+        s, o = s.filter(keep), o.filter(keep)
+        lo = pc.min_element_wise(s, o)
+        hi = pc.max_element_wise(s, o)
+        return pa.table({"a": lo, "b": hi})
+
+    e0 = distinct_rows(
+        triples.map_batches(undirect, batch_format="pyarrow"),
+        ["a", "b"], num_partitions=num_partitions,
+    ).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["a"], df["b"]], ignore_index=True)
+        return n.value_counts().rename_axis("node").reset_index(name="d")
+
+    deg = partition_reduce(
+        e0.map_batches(deg_partial, batch_format="pandas"),
+        ["node"],
+        lambda p: p.groupby("node", as_index=False)["d"].sum(),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    # orient each edge lower-(d, id) → higher-(d, id); keep head degree
+    # for the wedge-order sort
+    ea = hash_join(
+        e0, deg.map_batches(lambda t: t.rename_columns(["a", "da"]),
+                            batch_format="pyarrow"), on="a")
+    eab = hash_join(
+        ea, deg.map_batches(lambda t: t.rename_columns(["b", "db"]),
+                            batch_format="pyarrow"), on="b")
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a_first = (df["da"] < df["db"]) | (
+            (df["da"] == df["db"]) & (df["a"] < df["b"]))
+        u = df["a"].where(a_first, df["b"])
+        v = df["b"].where(a_first, df["a"])
+        dv = df["db"].where(a_first, df["da"])
+        return pd.DataFrame({"u": u, "v": v, "dv": dv})
+
+    oe = eab.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(part: pd.DataFrame) -> pd.DataFrame:
+        apex, lo, hi = [], [], []
+        for u, g in part.groupby("u"):
+            if len(g) < 2:
+                continue
+            gg = g.sort_values(["dv", "v"], kind="stable")
+            vs = gg["v"].to_numpy()
+            i, j = np.triu_indices(len(vs), k=1)
+            apex.append(np.repeat(u, len(i)))
+            lo.append(vs[i])
+            hi.append(vs[j])
+        if not apex:
+            return pd.DataFrame({"apex": pd.Series([], dtype=object),
+                                 "u": pd.Series([], dtype=object),
+                                 "v": pd.Series([], dtype=object)})
+        return pd.DataFrame({"apex": np.concatenate(apex),
+                             "u": np.concatenate(lo),
+                             "v": np.concatenate(hi)})
+
+    wedge_ds = partition_reduce(oe, ["u"], wedges,
+                                num_partitions=num_partitions)
+
+    # a wedge (apex; u, v) closes iff the oriented edge u→v exists — the
+    # (d, id) wedge ordering makes the closing edge's orientation unique
+    tri = hash_join(wedge_ds, oe.map_batches(
+        lambda t: t.select(["u", "v"]), batch_format="pyarrow"),
+        on=["u", "v"])
+
+    def credit(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["apex"], df["u"], df["v"]], ignore_index=True)
+        return n.value_counts().rename_axis("node").reset_index(name="t")
+
+    tc = partition_reduce(
+        tri.map_batches(credit, batch_format="pandas"),
+        ["node"],
+        lambda p: p.groupby("node", as_index=False)["t"].sum(),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["d"].astype("int64")
+        t = (df["t"].fillna(0).astype("int64") if "t" in df
+             else pd.Series(0, index=df.index, dtype="int64"))
+        denom = (d * (d - 1)).astype("float64")
+        coef = (2.0 * t / denom.where(denom > 0, np.inf)).round(6)
+        return pd.DataFrame({"entity": df["node"], "degree": d,
+                             "triangles": t, "clustering": coef})
+
+    # a triangle-free graph leaves tc as a zero-column empty dataset —
+    # joining on it would KeyError; degrees alone carry the answer
+    joined = (hash_join(deg, tc, on="node", how="left")
+              if tc.count() else deg)
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def triangles_sql(table: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` — id-ordered three-way
+    self-join over the same undirected distinct-edge view (orientation is
+    an execution strategy; the triangle set is orientation-free)."""
+    return f"""
+        WITH t AS (
+            SELECT CAST(subject_id AS VARCHAR) AS s,
+                   CAST(object_id AS VARCHAR) AS o
+            FROM {table} WHERE subject_id <> object_id
+        ),
+        e0 AS (SELECT DISTINCT LEAST(s, o) AS a, GREATEST(s, o) AS b FROM t),
+        deg AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0
+            ) GROUP BY 1
+        ),
+        tri AS (
+            SELECT xy.a AS x, xy.b AS y, yz.b AS z
+            FROM e0 xy
+            JOIN e0 yz ON yz.a = xy.b
+            JOIN e0 xz ON xz.a = xy.a AND xz.b = yz.b
+        ),
+        cr AS (
+            SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ),
+        tc AS (SELECT n, COUNT(*) AS tcount FROM cr GROUP BY 1)
+        SELECT deg.n AS entity, CAST(deg.d AS BIGINT) AS degree,
+               CAST(COALESCE(tc.tcount, 0) AS BIGINT) AS triangles,
+               ROUND(CASE WHEN deg.d > 1 THEN
+                   2.0 * COALESCE(tc.tcount, 0) / (deg.d * (deg.d - 1.0))
+                   ELSE 0 END, 6) AS clustering
+        FROM deg LEFT JOIN tc ON tc.n = deg.n
+    """

@@ -344,3 +344,61 @@ class TestHITS:
             "subject_id": pa.array([], pa.string()),
             "object_id": pa.array([], pa.string())}))
         assert hits(ds, iters=3).count() == 0
+
+
+class TestTriangles:
+    def _brute(self, edges: pd.DataFrame):
+        """Dense adjacency reference: tri(v) = (A³)_vv / 2."""
+        nodes = sorted(set(edges["a"]) | set(edges["b"]))
+        idx = {e: i for i, e in enumerate(nodes)}
+        n = len(nodes)
+        adj = np.zeros((n, n))
+        for a, b in edges.itertuples(index=False):
+            adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+        a3 = adj @ adj @ adj
+        deg = adj.sum(axis=1).astype(int)
+        tri = (np.diag(a3) / 2).astype(int)
+        return {
+            e: (int(deg[idx[e]]), int(tri[idx[e]]),
+                round(2.0 * tri[idx[e]] / (deg[idx[e]] * (deg[idx[e]] - 1)), 6)
+                if deg[idx[e]] > 1 else 0.0)
+            for e in nodes
+        }
+
+    def test_matches_dense_reference(self, triples):
+        from docprocai_service_ray.stages.graph import triangle_counts
+
+        df = _triples_df()
+        und = pd.DataFrame({
+            "a": df[["subject_id", "object_id"]].min(axis=1),
+            "b": df[["subject_id", "object_id"]].max(axis=1),
+        }).drop_duplicates()
+        want = self._brute(und)
+        got = triangle_counts(triples).to_pandas()
+        assert len(got) == len(want)
+        for r in got.itertuples(index=False):
+            d, t, c = want[r.entity]
+            assert (r.degree, r.triangles) == (d, t), r.entity
+            assert r.clustering == pytest.approx(c, abs=1e-9)
+
+    def test_hub_star_zero_wedges(self, ray_session):
+        # star graph: hub connected to 50 leaves, no leaf-leaf edges ⇒
+        # zero triangles, and the orientation means zero wedge pairs too
+        df = pd.DataFrame({"subject_id": ["hub"] * 50,
+                           "object_id": [f"leaf{i:02d}" for i in range(50)]})
+        from docprocai_service_ray.stages.graph import triangle_counts
+
+        got = triangle_counts(rd.from_pandas(df).repartition(5)).to_pandas()
+        assert (got["triangles"] == 0).all()
+        assert got.set_index("entity").loc["hub", "degree"] == 50
+
+    def test_parallelism_invariance(self, ray_session):
+        from docprocai_service_ray.stages.graph import triangle_counts
+
+        df = _triples_df(seed=8, n=500, n_ent=60)
+        outs = [
+            triangle_counts(rd.from_pandas(df).repartition(b)).to_pandas()
+            .sort_values("entity").reset_index(drop=True)
+            for b in (1, 9)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
