@@ -2133,6 +2133,17 @@ def _entity_triangles(sf_dir: str):
     return triangle_counts(_kg_run(sf_dir)["triples"])
 
 
+def _entity_coreness(sf_dir: str):
+    """k-core numbers over the KG (stages/graph.core_numbers: exact
+    Batagelj–Zaveršnik peel under the vocab gate, h-index fixpoint — Lü
+    2016, provably convergent to coreness — above it; both tiers
+    bit-equal in tests). Iterative integer fixpoint, not SQL-expressible
+    ⇒ golden-frozen; the link-farm/density signal."""
+    from docprocai_service_ray.stages.graph import core_numbers
+
+    return core_numbers(_kg_run(sf_dir)["triples"], cfg=_CFG)
+
+
 def _khop_neighborhood(sf_dir: str):
     from docprocai_service_ray.stages.graph import khop_neighborhood
 
@@ -2341,6 +2352,9 @@ _GOLDEN_QUERIES = [
     # HITS over the same host graph: L2-normalized float fixpoint
     # (both tiers dense-verified at 1e-9 in tests/test_graph.py::TestHITS)
     "host_hits",
+    # k-core numbers: iterative integer fixpoint (both tiers bit-equal to
+    # the exact peel in tests) — not SQL-expressible
+    "entity_coreness",
     # iterative clustering; bit-deterministic via fixed-point updates
     # (parallelism invariance + reference mirror in tests/test_kmeans.py)
     "kmeans_embeddings",
@@ -2419,6 +2433,7 @@ _PRIORITY_QUERIES = [
     "winnow_fps_docs",
     "winnow_overlap_docs",
     "entity_triangles",
+    "entity_coreness",
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
@@ -2533,6 +2548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_top_terms": _doc_top_terms,
             "graph_components": _graph_components,
             "entity_triangles": _entity_triangles,
+            "entity_coreness": _entity_coreness,
             "host_link_edges": _host_link_edges,
             "top_linked_hosts": _top_linked_hosts,
             "host_pagerank": _host_pagerank,

@@ -770,3 +770,138 @@ def triangles_sql(table: str) -> str:
                    ELSE 0 END, 6) AS clustering
         FROM deg LEFT JOIN tc ON tc.n = deg.n
     """
+
+
+def _coreness_driver(edges_df: pd.DataFrame):
+    """Exact k-core peel on the driver for vocab-sized graphs (Batagelj/
+    Zaveršnik order): repeatedly remove the minimum-degree node; its
+    coreness is the running maximum of min-degrees seen. Integer-exact."""
+    adj: dict = {}
+    for a, b in sorted(zip(edges_df["a"], edges_df["b"])):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict = {}
+    level = 0
+    live = set(adj)
+    while live:
+        v = min(live, key=lambda x: (deg[x], x))
+        level = max(level, deg[v])
+        core[v] = level
+        live.discard(v)
+        for u in adj[v]:
+            if u in live:
+                deg[u] -= 1
+    return core
+
+
+def _h_index(vals: np.ndarray) -> int:
+    """Largest h with at least h entries ≥ h (vectorized)."""
+    s = np.sort(vals)[::-1]
+    ok = s >= np.arange(1, len(s) + 1)
+    return int(ok.sum())
+
+
+def core_numbers(triples, *, cfg=None, num_partitions: int | None = None,
+                 max_iters: int = 200):
+    """Coreness (k-core number) per entity over the undirected distinct-
+    edge view — the density/spam-farm signal (a link-farm host cluster is
+    a high-core subgraph even when no individual degree stands out; the
+    reference's Postgres KG would need iterative SQL it doesn't have).
+
+    Size-gated: under cfg.driver_unionfind_max edges the exact
+    Batagelj–Zaveršnik peel runs on the driver. Above it, the h-index
+    fixpoint (Lü et al. 2016: init c=degree; iterate c(v) ← H-index of
+    neighbors' c; provably converges to coreness, monotonically from
+    above) — each round is ONE symmetric-edge⋈score hash join (auto
+    tier) + one auto-sized grouped h-index reduce, with a metadata-cheap
+    changed-count aggregate deciding convergence; O(V) score tables
+    materialize per round, the edge table streams. Integer-exact ⇒ both
+    tiers bit-equal (tests), golden-freezable."""
+    import pyarrow.compute as pc
+
+    from ..config import KGConfig
+
+    cfg = cfg or KGConfig()
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t["subject_id"].cast(pa.string())
+        o = t["object_id"].cast(pa.string())
+        keep = pc.not_equal(s, o)
+        s, o = s.filter(keep), o.filter(keep)
+        return pa.table({"a": pc.min_element_wise(s, o),
+                         "b": pc.max_element_wise(s, o)})
+
+    e0 = distinct_rows(
+        triples.map_batches(undirect, batch_format="pyarrow"),
+        ["a", "b"], num_partitions=num_partitions,
+    ).materialize()
+
+    def out_table(core: dict) -> "ray.data.Dataset":
+        nodes = sorted(core)
+        return ray.data.from_arrow(pa.table({
+            "entity": pa.array(nodes, pa.string()),
+            "coreness": pa.array([core[n] for n in nodes], pa.int64()),
+        }))
+
+    if e0.count() <= cfg.driver_unionfind_max:
+        return out_table(_coreness_driver(collect_pandas(e0, ["a", "b"])))
+
+    # symmetric view: one row per (node, neighbor) direction
+    sym = e0.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([t["a"].combine_chunks(),
+                                      t["b"].combine_chunks()]),
+            "nbr": pa.concat_arrays([t["b"].combine_chunks(),
+                                     t["a"].combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df["node"].value_counts().rename_axis("entity").reset_index(
+            name="c")
+
+    scores = partition_reduce(
+        sym.map_batches(deg_partial, batch_format="pandas"),
+        ["entity"],
+        lambda p: p.groupby("entity", as_index=False)["c"].sum(),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    for _ in range(max_iters):
+        nbr_scores = hash_join(
+            sym.map_batches(lambda t: t.rename_columns(["node", "entity"]),
+                            batch_format="pyarrow"),
+            scores, on="entity",
+        )
+
+        def h_reduce(part: pd.DataFrame) -> pd.DataFrame:
+            g = part.groupby("node")["c"].apply(
+                lambda v: _h_index(v.to_numpy()))
+            return g.rename_axis("entity").reset_index(name="c_new")
+
+        new_scores = partition_reduce(
+            nbr_scores.map_batches(
+                lambda df: df[["node", "c"]], batch_format="pandas"),
+            ["node"], h_reduce, num_partitions=num_partitions,
+        ).materialize()
+
+        changed_ds = hash_join(scores, new_scores, on="entity").map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [int((df["c"] != df["c_new"]).sum())]}),
+            batch_format="pandas",
+        )
+        changed = int(changed_ds.sum("n") or 0)
+        scores = new_scores.map_batches(
+            lambda t: t.rename_columns(["entity", "c"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if changed == 0:
+            break
+
+    return scores.map_batches(
+        lambda t: pa.table({"entity": t["entity"],
+                            "coreness": t["c"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )

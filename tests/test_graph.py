@@ -402,3 +402,58 @@ class TestTriangles:
             for b in (1, 9)
         ]
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestCoreness:
+    @pytest.mark.parametrize("tier", ["driver", "distributed"])
+    def test_matches_peel_reference(self, triples, tier):
+        import dataclasses
+
+        from docprocai_service_ray.config import KGConfig
+        from docprocai_service_ray.stages.graph import (
+            _coreness_driver,
+            core_numbers,
+        )
+
+        cfg = KGConfig()
+        if tier == "distributed":
+            cfg = dataclasses.replace(cfg, driver_unionfind_max=0)
+        df = _triples_df()
+        und = pd.DataFrame({
+            "a": df[["subject_id", "object_id"]].min(axis=1),
+            "b": df[["subject_id", "object_id"]].max(axis=1),
+        }).drop_duplicates()
+        want = _coreness_driver(und)
+        got = {r["entity"]: r["coreness"]
+               for r in core_numbers(triples, cfg=cfg).take_all()}
+        assert got == want
+
+    def test_clique_and_star(self, ray_session):
+        import dataclasses
+
+        from docprocai_service_ray.config import KGConfig
+        from docprocai_service_ray.stages.graph import core_numbers
+
+        cfg = dataclasses.replace(KGConfig(), driver_unionfind_max=0)
+        cl = pd.DataFrame(
+            [(f"c{i}", f"c{j}") for i in range(6) for j in range(6) if i < j],
+            columns=["subject_id", "object_id"])
+        star = pd.DataFrame({"subject_id": ["hub"] * 12,
+                             "object_id": [f"l{i}" for i in range(12)]})
+        got = {r["entity"]: r["coreness"]
+               for r in core_numbers(
+                   rd.from_pandas(pd.concat([cl, star])).repartition(4),
+                   cfg=cfg).take_all()}
+        assert all(got[f"c{i}"] == 5 for i in range(6))   # K6 ⇒ core 5
+        assert got["hub"] == 1 and got["l0"] == 1          # star ⇒ core 1
+
+    def test_parallelism_invariance(self, ray_session):
+        from docprocai_service_ray.stages.graph import core_numbers
+
+        df = _triples_df(seed=13, n=600, n_ent=70)
+        outs = [
+            core_numbers(rd.from_pandas(df).repartition(b)).to_pandas()
+            .sort_values("entity").reset_index(drop=True)
+            for b in (1, 8)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
