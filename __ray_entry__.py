@@ -1312,6 +1312,29 @@ def _bm25_search_docs(sf_dir: str):
     return bm25_topk(ds, "doc_id", "text", _BM25_TERMS, k=10)
 
 
+def _bitext_mined_pairs(sf_dir: str):
+    """Margin-based bitext mining (stages/bitext; Artetxe & Schwenk 2019)
+    between the label-1 and label-2 embedding shards: mutual-best pairs
+    with ratio margin ≥ 1. One matmul pass over the streaming target side
+    yields both directions (source side broadcast — the ST7 contract);
+    margins are exact-integer micro-cosine arithmetic, so the quadratic
+    cross-join DuckDB twin is bit-identical."""
+    import pyarrow.compute as pc
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.bitext import bitext_margin_pairs
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    src = ds.map_batches(lambda t: t.filter(pc.equal(t["label"], 1))
+                         .select(["vec_id", "embedding"]),
+                         batch_format="pyarrow")
+    tgt = ds.map_batches(lambda t: t.filter(pc.equal(t["label"], 2))
+                         .select(["vec_id", "embedding"]),
+                         batch_format="pyarrow")
+    return bitext_margin_pairs(src, tgt, k=4, margin_threshold=1.0,
+                               mutual=True)
+
+
 _WINNOW_KW = dict(k=16, w=24)  # shared-substring guarantee: ≥ 39 chars
 
 
@@ -2434,6 +2457,7 @@ _PRIORITY_QUERIES = [
     "winnow_overlap_docs",
     "entity_triangles",
     "entity_coreness",
+    "bitext_mined_pairs",
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
@@ -2596,6 +2620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "hybrid_search_docs": _hybrid_search_docs,
             "winnow_fps_docs": _winnow_fps_docs,
             "winnow_overlap_docs": _winnow_overlap_docs,
+            "bitext_mined_pairs": _bitext_mined_pairs,
             "dup_span_scrub_docs": _dup_span_scrub_docs,
             "blockword_stats_docs": _blockword_stats_docs,
             "oov_by_source": _oov_by_source,
@@ -2794,6 +2819,12 @@ def oracle_sql() -> dict[str, str]:
         "documents", "doc_id", "text", _BM25_TERMS, k=10)
     from docprocai_service_ray.stages.fusion import rrf_sql
 
+    from docprocai_service_ray.stages.bitext import bitext_sql
+
+    sql["bitext_mined_pairs"] = bitext_sql(
+        "SELECT vec_id AS id, embedding FROM embeddings WHERE label = 1",
+        "SELECT vec_id AS id, embedding FROM embeddings WHERE label = 2",
+        k=4, margin_threshold=1.0, mutual=True)
     from docprocai_service_ray.stages.winnow import winnow_pairs_sql, winnow_sql
 
     sql["winnow_fps_docs"] = winnow_sql(
