@@ -138,6 +138,16 @@ def _host_hits(sf_dir: str):
     return host_hits(_corpus_pages(sf_dir, ["url", "html"]), iters=20, cfg=_CFG)
 
 
+def _host_crawl_stats(sf_dir: str):
+    """Per-host crawl-freshness rollup (stages/urltools.host_crawl_stats):
+    page count, distinct capture days, first/last capture, span — the
+    recrawl-policy table; (host, day)-bounded exchange. REAL-SQL-oracled
+    over the same corpus parquet."""
+    from docprocai_service_ray.stages.urltools import host_crawl_stats
+
+    return host_crawl_stats(_corpus_pages(sf_dir, ["url", "warc_ts"]))
+
+
 def _linkgraph_sql() -> dict[str, str]:
     """Real DuckDB SQL over the SAME corpus parquet the Ray queries read.
     The path is deterministic (webgen.corpus_path); if the corpus isn't
@@ -154,11 +164,14 @@ def _linkgraph_sql() -> dict[str, str]:
         ensure_corpus(n, _CFG.seed, _CFG.embedding_dim)
     from docprocai_service_ray.stages.linkgraph import anchor_terms_sql
 
+    from docprocai_service_ray.stages.urltools import host_crawl_sql
+
     glob = os.path.join(root, "web_pages", "*.parquet")
     return {
         "host_link_edges": linkgraph_sql(glob),
         "top_linked_hosts": top_hosts_sql(glob, 10),
         "anchor_terms": anchor_terms_sql(glob),
+        "host_crawl_stats": host_crawl_sql(glob),
     }
 
 
@@ -2458,6 +2471,7 @@ _PRIORITY_QUERIES = [
     "entity_triangles",
     "entity_coreness",
     "bitext_mined_pairs",
+    "host_crawl_stats",
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
@@ -2578,6 +2592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "host_pagerank": _host_pagerank,
             "host_pagerank_weighted": _host_pagerank_weighted,
             "host_hits": _host_hits,
+            "host_crawl_stats": _host_crawl_stats,
             "anchor_terms": _anchor_terms,
             "stratified_docs_sample": _stratified_docs_sample,
             "similar_surfaces": _similar_surfaces,

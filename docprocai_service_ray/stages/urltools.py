@@ -133,3 +133,69 @@ def blocklist_predicate_sql(url_expr: str, blocklist: list[str],
         terms.append(f"({host} = '{b}' OR {host} LIKE '%.{b}')")
     pred = " OR ".join(terms) if terms else "FALSE"
     return f"({pred})" if blocked else f"NOT ({pred})"
+
+
+def host_crawl_stats(ds, *, url_col: str = "url", ts_col: str = "warc_ts",
+                     num_partitions: int | None = None):
+    """Per-host crawl-freshness rollup: page count, distinct capture days,
+    first/last capture (µs-precision strings so the DuckDB twin compares
+    byte-equal) and the capture span in whole days — the recrawl-policy /
+    staleness table a continuous crawl operation watches (the reference
+    re-ingests a document when its source changes; S7/W6 — this is the
+    corpus-level view of the same freshness concern).
+
+    One pure map emitting per-batch (host, n, days-set partials as
+    min/max/first/last)? No — distinct DAYS require day-level identity, so
+    the partial is (host, day) with counts and min/max ts: exchange
+    fan-in is hosts × days (calendar-bounded), never pages."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = df[url_col].str.extract(_HOST_PAT, expand=False).fillna("")
+        ts = pd.to_datetime(df[ts_col])
+        day = ts.dt.strftime("%Y-%m-%d")
+        g = pd.DataFrame({"host": host, "day": day, "ts": ts}).groupby(
+            ["host", "day"], as_index=False).agg(
+                n=("ts", "size"), mn=("ts", "min"), mx=("ts", "max"))
+        return g
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        byday = part.groupby(["host", "day"], as_index=False).agg(
+            n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        out = byday.groupby("host", as_index=False).agg(
+            n_pages=("n", "sum"), n_days=("day", "nunique"),
+            mn=("mn", "min"), mx=("mx", "max"))
+        out["first_ts"] = out["mn"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        out["last_ts"] = out["mx"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        out["span_days"] = (
+            (out["mx"].dt.normalize() - out["mn"].dt.normalize()).dt.days
+        ).astype("int64")
+        return out[["host", "n_pages", "n_days", "first_ts", "last_ts",
+                    "span_days"]].astype({"n_pages": "int64",
+                                          "n_days": "int64"})
+
+    from ..state.groupby import partition_reduce
+
+    return partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["host"], fold, num_partitions=num_partitions)
+
+
+def host_crawl_sql(pages_glob: str) -> str:
+    """DuckDB twin of :func:`host_crawl_stats` over the same corpus
+    parquet (same host regex, same µs timestamp rendering)."""
+    return f"""
+        WITH p AS (
+            SELECT coalesce(regexp_extract(url, '{_HOST_PAT}', 1), '')
+                       AS host,
+                   warc_ts AS ts
+            FROM read_parquet('{pages_glob}')
+        )
+        SELECT host,
+               COUNT(*) AS n_pages,
+               COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+               CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                              CAST(MAX(ts) AS DATE)) AS BIGINT) AS span_days
+        FROM p GROUP BY 1
+    """

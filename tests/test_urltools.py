@@ -129,3 +129,55 @@ def test_normalize_urls_dataset_roundtrip():
     inplace = normalize_urls(ds, "url").to_pandas()
     assert inplace.sort_values("k")["url"].tolist() == \
         [c[1] for c in CASES[:6]]
+
+
+class TestHostCrawlStats:
+    def _pages(self):
+        import datetime
+
+        rows = [
+            ("http://a.example/p1", datetime.datetime(2025, 1, 1, 10, 0, 0, 123456)),
+            ("http://a.example/p2", datetime.datetime(2025, 1, 1, 12, 0, 0)),
+            ("http://a.example/p3", datetime.datetime(2025, 1, 3, 9, 30, 0, 7)),
+            ("https://b.example/x", datetime.datetime(2025, 2, 10, 0, 0, 0)),
+            ("HTTP://A.example/up", datetime.datetime(2025, 1, 2, 1, 0, 0)),
+            ("not-a-url", datetime.datetime(2025, 1, 5, 0, 0, 0)),
+        ]
+        return pd.DataFrame({"url": [u for u, _ in rows],
+                             "warc_ts": [t for _, t in rows]})
+
+    def test_hand_rollup(self, ray_session):
+        import ray.data as rd
+
+        from docprocai_service_ray.stages.urltools import host_crawl_stats
+
+        got = host_crawl_stats(rd.from_pandas(self._pages()).repartition(3)
+                               ).to_pandas().set_index("host")
+        # a.example: 3 pages over 2025-01-01..01-03 = 2 distinct days, span 2
+        a = got.loc["a.example"]
+        assert (a["n_pages"], a["n_days"], a["span_days"]) == (3, 2, 2)
+        assert a["first_ts"] == "2025-01-01 10:00:00.123456"
+        assert a["last_ts"] == "2025-01-03 09:30:00.000007"
+        # case-insensitive scheme, case-SENSITIVE host (raw crawl url)
+        assert got.loc["A.example", "n_pages"] == 1
+        # unparseable url rolls into the '' bucket, never dropped silently
+        assert got.loc["", "n_pages"] == 1
+        assert got.loc["b.example", "span_days"] == 0
+
+    def test_matches_duckdb(self, ray_session, tmp_path):
+        import duckdb
+        import ray.data as rd
+
+        from docprocai_service_ray.stages.urltools import (
+            host_crawl_sql,
+            host_crawl_stats,
+        )
+
+        df = self._pages()
+        df.to_parquet(tmp_path / "pages.parquet")
+        got = host_crawl_stats(rd.from_pandas(df).repartition(2)
+                               ).to_pandas().sort_values("host").reset_index(drop=True)
+        want = duckdb.connect().execute(
+            host_crawl_sql(f"{tmp_path}/pages.parquet")
+        ).df().sort_values("host").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
