@@ -2159,6 +2159,43 @@ def _graph_components(sf_dir: str):
     return connected_components(_kg_run(sf_dir)["triples"], _CFG)
 
 
+def _triple_pr_vs_oracle(sf_dir: str):
+    """THE north-rule headline metric, surfaced as a query: precision /
+    recall of the LIVE distributed pipeline's (subject, pred, object,
+    weight) triples against the INDEPENDENT single-process scalar oracle
+    (docprocai_service_ray/oracle/scalar.py — row-at-a-time, shares only
+    the pure kernels; the same oracle that certifies the goldens),
+    recomputed fresh for this sf. The bar is P/R ≥ 0.95; the engine holds
+    P = R = 1.0 (exact set equality), asserted in tests and frozen in the
+    golden. Driver-sized comparison: both triple sets are vocab-sized."""
+    import pyarrow as _pa
+
+    from docprocai_service_ray.oracle.scalar import run_oracle
+    from docprocai_service_ray.sources.webgen import alias_dict_table, gen_page
+    from docprocai_service_ray.state.groupby import collect_pandas
+
+    live_df = collect_pandas(
+        _kg_run(sf_dir)["triples"],
+        ["subject_id", "pred", "object_id", "weight"])
+    live = set(map(tuple, live_df.itertuples(index=False)))
+    n = _corpus_n(sf_dir)
+    pages = [gen_page(_CFG.seed, r) for r in range(n)]
+    oracle = run_oracle(pages, alias_dict_table(_CFG.seed, _CFG.embedding_dim),
+                        _CFG)
+    ref = {(t["subject_id"], t["pred"], t["object_id"], t["weight"])
+           for t in oracle["triples"]}
+    common = len(live & ref)
+    return _pa.table({
+        "n_live": _pa.array([len(live)], _pa.int64()),
+        "n_ref": _pa.array([len(ref)], _pa.int64()),
+        "n_common": _pa.array([common], _pa.int64()),
+        "precision": _pa.array(
+            [round(common / len(live), 6) if live else 0.0], _pa.float64()),
+        "recall": _pa.array(
+            [round(common / len(ref), 6) if ref else 0.0], _pa.float64()),
+    })
+
+
 def _entity_triangles(sf_dir: str):
     """Triangle counts + local clustering coefficients over the KG
     (stages/graph.triangle_counts: degree-ordered orientation defuses hub
@@ -2391,6 +2428,9 @@ _GOLDEN_QUERIES = [
     # k-core numbers: iterative integer fixpoint (both tiers bit-equal to
     # the exact peel in tests) — not SQL-expressible
     "entity_coreness",
+    # the north-rule P/R metric vs the independent scalar oracle: golden
+    # pins P = R = 1.0 (exact triple-set equality)
+    "triple_pr_vs_oracle",
     # iterative clustering; bit-deterministic via fixed-point updates
     # (parallelism invariance + reference mirror in tests/test_kmeans.py)
     "kmeans_embeddings",
@@ -2472,6 +2512,7 @@ _PRIORITY_QUERIES = [
     "entity_coreness",
     "bitext_mined_pairs",
     "host_crawl_stats",
+    "triple_pr_vs_oracle",
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
@@ -2587,6 +2628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "graph_components": _graph_components,
             "entity_triangles": _entity_triangles,
             "entity_coreness": _entity_coreness,
+            "triple_pr_vs_oracle": _triple_pr_vs_oracle,
             "host_link_edges": _host_link_edges,
             "top_linked_hosts": _top_linked_hosts,
             "host_pagerank": _host_pagerank,

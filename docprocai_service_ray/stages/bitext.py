@@ -157,7 +157,12 @@ def bitext_margin_pairs(src, tgt, *, id_col: str = "vec_id",
         num = 2.0 * df["ci"] * df["n_f"] * df["n_b"]
         den = (df["sum_f"] * df["n_b"] + df["sum_b"] * df["n_f"]).astype(
             "float64")
-        margin = (num / den.where(den != 0, np.nan)).round(round_to)
+        q = num / den.where(den != 0, np.nan)
+        # explicit half-up rounding, bit-identical to the SQL twin's
+        # FLOOR(x*1e6 + 0.5)/1e6 — np.round is half-even, DuckDB ROUND is
+        # half-away, and integer-ratio margins DO land on exact halves
+        scale = 10.0 ** round_to
+        margin = np.floor(q * scale + 0.5) / scale
         out = pd.DataFrame({
             "src_id": df["src_id"], "tgt_id": df["tgt_id"],
             "cos": df["ci"] / float(_SCALE), "margin": margin})
@@ -180,8 +185,13 @@ def bitext_sql(src_inner: str, tgt_inner: str, *, k: int = 4,
     return f"""
         WITH s AS ({src_inner}), t AS ({tgt_inner}),
         x AS (
+            -- CAST to DOUBLE[]: list_cosine_similarity on FLOAT lists
+            -- computes in float32, whose ~1e-7 error straddles the 1e-6
+            -- quantization grid; in float64 both engines agree to ~1e-15
             SELECT s.id AS src_id, t.id AS tgt_id,
-                   CAST(FLOOR(list_cosine_similarity(s.embedding, t.embedding)
+                   CAST(FLOOR(list_cosine_similarity(
+                              CAST(s.embedding AS DOUBLE[]),
+                              CAST(t.embedding AS DOUBLE[]))
                               * {_SCALE} + 0.5) AS BIGINT) AS ci
             FROM s, t
         ),
@@ -208,9 +218,10 @@ def bitext_sql(src_inner: str, tgt_inner: str, *, k: int = 4,
         m AS (
             SELECT f.src_id, f.tgt_id,
                    f.ci / CAST({_SCALE} AS DOUBLE) AS cos,
-                   ROUND((2.0 * f.ci * fa.n_f * ba.n_b)
-                         / (fa.sum_f * ba.n_b + ba.sum_b * fa.n_f),
-                         {round_to}) AS margin
+                   FLOOR((2.0 * f.ci * fa.n_f * ba.n_b)
+                         / (fa.sum_f * ba.n_b + ba.sum_b * fa.n_f)
+                         * {10.0 ** round_to} + 0.5) / {10.0 ** round_to}
+                       AS margin
             FROM fbest f
             JOIN fa USING (tgt_id) JOIN ba USING (src_id)
             JOIN bb USING (src_id)

@@ -34,8 +34,8 @@ def _brute(src: pd.DataFrame, tgt: pd.DataFrame, k: int,
         border = np.argsort(-ci[:, best], kind="stable")
         kb = min(k, len(t))
         sum_b = int(ci[border[:kb], best].sum())
-        margin = round(2.0 * ci[yi, best] * kf * kb
-                       / (sum_f * kb + sum_b * kf), 6)
+        margin = np.floor(2.0 * ci[yi, best] * kf * kb
+                          / (sum_f * kb + sum_b * kf) * 1e6 + 0.5) / 1e6
         if margin < threshold:
             continue
         if mutual and border[0] != yi:

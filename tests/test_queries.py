@@ -64,3 +64,14 @@ def test_every_query_has_an_oracle():
     """Drift guard: a queries() entry without an oracle_sql() twin would
     silently skip the driver's correctness gate."""
     assert sorted(QUERIES) == sorted(ORACLE_SQL)
+
+
+def test_triple_pr_vs_oracle_is_exact(ray_session):
+    """The north-rule metric: live pipeline vs the independent scalar
+    oracle must hold P = R = 1.0 (bar: ≥ 0.95) at the smoke scale."""
+    import __ray_entry__ as entry
+
+    t = entry.queries()["triple_pr_vs_oracle"]("/root/testdata/sf0.001")
+    row = t.to_pandas().iloc[0]
+    assert row["n_live"] == row["n_ref"] == row["n_common"] > 0
+    assert row["precision"] == 1.0 and row["recall"] == 1.0
