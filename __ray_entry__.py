@@ -315,6 +315,23 @@ def _ann_quantized_topk(sf_dir: str):
     return quantized_topk(ds, q, 10, rerank_factor=4)
 
 
+def _ann_projected_topk(sf_dir: str):
+    """Johnson–Lindenstrauss projected search (stages/project): seeded
+    Gaussian 64→16 projection prefilter (4× fewer scan bytes, rebuilt
+    from the seed per task — nothing ships) + exact re-rank — the
+    dimension-reduction ANN tier beside SQ8/LSH/IVF. Golden-frozen;
+    prefilter recall and exact-rerank equality measured in
+    tests/test_project.py."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq, _query_vec
+
+    from docprocai_service_ray.stages.project import projected_topk
+
+    q = _query_vec(sf_dir)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return projected_topk(ds, q, 10, dim_out=16, seed=_CFG.seed,
+                          rerank_factor=4)
+
+
 def _ann_ivf_topk(sf_dir: str):
     """Approximate NN via an IVF coarse quantizer (train on a bounded
     sample, broadcast centroids, one matmul assignment per batch, probe
@@ -2408,6 +2425,9 @@ _GOLDEN_QUERIES = [
     # SQ8 prefilter is approximate BY DESIGN (recall measured in
     # tests/test_quantize.py); golden pins the deterministic output
     "ann_quantized_topk",
+    # JL projected prefilter: approximate by design (recall measured in
+    # tests/test_project.py); seeded ⇒ deterministic, golden pins it
+    "ann_projected_topk",
     # seeded-LSH candidate counts per banding — golden pins the
     # deterministic profile
     "dedup_threshold_profile",
@@ -2513,6 +2533,7 @@ _PRIORITY_QUERIES = [
     "bitext_mined_pairs",
     "host_crawl_stats",
     "triple_pr_vs_oracle",
+    "ann_projected_topk",
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
@@ -2599,6 +2620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_lsh_topk": _ann_lsh_topk,
             "ann_ivf_topk": _ann_ivf_topk,
             "ann_quantized_topk": _ann_quantized_topk,
+            "ann_projected_topk": _ann_projected_topk,
             "dedup_threshold_profile": _dedup_threshold_profile,
             "domain_scorecard": _domain_scorecard,
             "gopher_rules_by_source": _gopher_rules_by_source,
