@@ -963,6 +963,21 @@ _PII_PLANTED_SQL = """(
 )"""
 
 
+def _unigram_vocab(sf_dir: str):
+    """Unigram-LM tokenizer training (stages/unigram; Kudo 2018 hard-EM
+    variant): over-complete substring seed → Viterbi E-step with exact
+    int64 counts → prune — the second tokenizer family beside BPE.
+    Corpus-scale work is the ONE shared word-count exchange; EM runs on
+    the vocab-sized word table. Iterative, not SQL-expressible ⇒
+    golden-frozen; both tiers bit-equal in tests/test_unigram.py."""
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.unigram import unigram_train
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_train(ds, "text", vocab_size=256, seed_size=2048,
+                         em_iters=3)
+
+
 # --------------- BPE tokenizer training (stages/bpe.py) ---------------------
 
 def _bpe_merges(sf_dir: str):
@@ -2469,6 +2484,9 @@ _GOLDEN_QUERIES = [
     # tests/test_bpe.py, golden pins the deterministic output
     "bpe_merges",
     "bpe_token_stats",
+    # unigram-LM hard-EM training: int64 Viterbi counts ⇒ bit-
+    # deterministic (tiers bit-equal in tests/test_unigram.py); golden
+    "unigram_vocab",
     # cluster closure + survivor pick over the approximate (verified)
     # LSH pair graph — golden pins the deterministic output
     "near_dup_keep_best",
@@ -2534,6 +2552,7 @@ _PRIORITY_QUERIES = [
     "host_crawl_stats",
     "triple_pr_vs_oracle",
     "ann_projected_topk",
+    "unigram_vocab",
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
@@ -2683,6 +2702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "blocked_host_doc_counts": _blocked_host_doc_counts,
             "line_dedup_docs": _line_dedup_docs,
             "bpe_merges": _bpe_merges,
+            "unigram_vocab": _unigram_vocab,
             "bpe_token_stats": _bpe_token_stats,
             "domain_doc_counts": _domain_doc_counts,
             "bigram_bits_by_source": _bigram_bits_by_source,

@@ -118,6 +118,9 @@ QUERY_NAMES = [
     # BM25 and cosine legs) + winnowing syndication map
     "hybrid_search_docs",
     "winnow_overlap_docs",
+    "bitext_mined_pairs",
+    "host_crawl_stats",
+    "ann_projected_topk",
 ]
 
 
