@@ -2934,8 +2934,12 @@ def oracle_sql() -> dict[str, str]:
         bm25_sql("(SELECT * FROM documents WHERE doc_id <> 0)",
                  "doc_id", "text", _BM25_TERMS, k=50),
         """
+        -- DOUBLE[] cast: FLOAT-list cosines compute in float32, whose
+        -- ~1e-7 error can flip 6dp-rounded ranks vs the engine's float64
+        -- (the stages/bitext lesson)
         SELECT e.vec_id AS doc_id,
-               ROUND(list_cosine_similarity(e.embedding, q.embedding), 6)
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6)
                    AS score
         FROM embeddings e,
              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
