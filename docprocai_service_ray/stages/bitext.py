@@ -125,7 +125,16 @@ def bitext_margin_pairs(src, tgt, *, id_col: str = "vec_id",
         return pd.concat([fwd, back], ignore_index=True)
 
     passes = tgt.map_batches(one_pass, batch_format="pandas").materialize()
-    fwd = passes.filter(lambda r: r["kind"] == "f")
+
+    def _kind(df: pd.DataFrame, which: str, cols: list) -> pd.DataFrame:
+        # vectorized mask — ds.filter(fn) is per-row Python (hot-path ban)
+        if "kind" not in df.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return df.loc[df["kind"] == which, cols]
+
+    fwd = passes.map_batches(
+        lambda df: _kind(df, "f", ["src_id", "tgt_id", "ci", "sum_f", "n_f"]),
+        batch_format="pandas")
 
     def back_fold(part: pd.DataFrame) -> pd.DataFrame:
         g = part.sort_values(["src_id", "ci", "tgt_id"],
@@ -136,16 +145,12 @@ def bitext_margin_pairs(src, tgt, *, id_col: str = "vec_id",
             best_tgt=("tgt_id", "first"))
 
     back = partition_reduce(
-        passes.filter(lambda r: r["kind"] == "b").map_batches(
-            lambda df: df[["src_id", "tgt_id", "ci"]],
+        passes.map_batches(
+            lambda df: _kind(df, "b", ["src_id", "tgt_id", "ci"]),
             batch_format="pandas"),
         ["src_id"], back_fold, num_partitions=num_partitions)
 
-    joined = hash_join(
-        fwd.map_batches(
-            lambda df: df[["src_id", "tgt_id", "ci", "sum_f", "n_f"]],
-            batch_format="pandas"),
-        back, on="src_id")
+    joined = hash_join(fwd, back, on="src_id")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
