@@ -2238,6 +2238,18 @@ def _entity_triangles(sf_dir: str):
     return triangle_counts(_kg_run(sf_dir)["triples"])
 
 
+def _entity_communities(sf_dir: str):
+    """Label-propagation communities over the KG (stages/graph.
+    label_propagation: deterministic LPA — neighborhood label mode with
+    (count DESC, label ASC) tie-break, fixed round count; driver +
+    distributed tiers bit-equal in tests). Finds dense regions of one
+    connected graph — the companion to graph_components' islands.
+    Iterative integer/mode fixpoint ⇒ golden-frozen."""
+    from docprocai_service_ray.stages.graph import label_propagation
+
+    return label_propagation(_kg_run(sf_dir)["triples"], iters=10, cfg=_CFG)
+
+
 def _entity_coreness(sf_dir: str):
     """k-core numbers over the KG (stages/graph.core_numbers: exact
     Batagelj–Zaveršnik peel under the vocab gate, h-index fixpoint — Lü
@@ -2463,6 +2475,9 @@ _GOLDEN_QUERIES = [
     # k-core numbers: iterative integer fixpoint (both tiers bit-equal to
     # the exact peel in tests) — not SQL-expressible
     "entity_coreness",
+    # deterministic LPA communities: fixed-round mode fixpoint (tiers
+    # bit-equal in tests) — not SQL-expressible
+    "entity_communities",
     # the north-rule P/R metric vs the independent scalar oracle: golden
     # pins P = R = 1.0 (exact triple-set equality)
     "triple_pr_vs_oracle",
@@ -2553,6 +2568,7 @@ _PRIORITY_QUERIES = [
     "triple_pr_vs_oracle",
     "ann_projected_topk",
     "unigram_vocab",
+    "entity_communities",
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
@@ -2669,6 +2685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "graph_components": _graph_components,
             "entity_triangles": _entity_triangles,
             "entity_coreness": _entity_coreness,
+            "entity_communities": _entity_communities,
             "triple_pr_vs_oracle": _triple_pr_vs_oracle,
             "host_link_edges": _host_link_edges,
             "top_linked_hosts": _top_linked_hosts,

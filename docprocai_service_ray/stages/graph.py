@@ -905,3 +905,124 @@ def core_numbers(triples, *, cfg=None, num_partitions: int | None = None,
                             "coreness": t["c"].cast(pa.int64())}),
         batch_format="pyarrow",
     )
+
+
+def _lpa_mode(part: pd.DataFrame) -> pd.DataFrame:
+    """Per-node neighborhood label mode with (count DESC, label ASC)
+    tie-break — the deterministic LPA update kernel (vectorized: one
+    groupby over the partition's (node, label) count rows)."""
+    g = part.groupby(["node", "label"], as_index=False)["w"].sum()
+    g = g.sort_values(["node", "w", "label"],
+                      ascending=[True, False, True], kind="stable")
+    top = g.groupby("node", as_index=False).first()
+    return pd.DataFrame({"entity": top["node"], "label_new": top["label"]})
+
+
+def label_propagation(triples, *, iters: int = 10,
+                      num_partitions: int | None = None, cfg=None):
+    """Community detection by synchronous label propagation (Raghavan
+    2007, made deterministic): labels start as the node id; each round
+    every node adopts the most frequent label among its neighbors
+    (count DESC, label ASC tie-break — no randomness), for EXACTLY
+    ``iters`` rounds (synchronous LPA can 2-cycle on bipartite-ish
+    structure, so a fixed round count, not a convergence test, is the
+    determinism contract). Returns (entity, community, community_size);
+    community = the final label. Complements connected_components:
+    components find disconnected islands, LPA finds dense regions of one
+    connected web graph (link farms, host families).
+
+    Scale shape — the pagerank/coreness loop: symmetric distinct edges
+    materialized once; per round ONE edge⋈label hash join (auto tier) +
+    one auto-sized grouped mode reduce; O(V) label state per round.
+    Driver tier under the union-find gate runs the same kernel on pandas
+    (both tiers bit-equal in tests)."""
+    import pyarrow.compute as pc
+
+    from ..config import KGConfig
+
+    cfg = cfg or KGConfig()
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t["subject_id"].cast(pa.string())
+        o = t["object_id"].cast(pa.string())
+        keep = pc.not_equal(s, o)
+        s, o = s.filter(keep), o.filter(keep)
+        return pa.table({"a": pc.min_element_wise(s, o),
+                         "b": pc.max_element_wise(s, o)})
+
+    e0 = distinct_rows(
+        triples.map_batches(undirect, batch_format="pyarrow"),
+        ["a", "b"], num_partitions=num_partitions,
+    ).materialize()
+
+    def finish_table(lab: pd.DataFrame) -> "ray.data.Dataset":
+        sizes = lab["community"].value_counts()
+        lab = lab.sort_values("entity", kind="stable")
+        return ray.data.from_arrow(pa.table({
+            "entity": pa.array(lab["entity"], pa.string()),
+            "community": pa.array(lab["community"], pa.string()),
+            "community_size": pa.array(
+                lab["community"].map(sizes).astype("int64"), pa.int64()),
+        }))
+
+    if e0.count() <= cfg.driver_unionfind_max:
+        ed = collect_pandas(e0, ["a", "b"])
+        sym = pd.DataFrame({
+            "node": pd.concat([ed["a"], ed["b"]], ignore_index=True),
+            "nbr": pd.concat([ed["b"], ed["a"]], ignore_index=True),
+        })
+        labels = pd.DataFrame({"entity": sorted(set(sym["node"]))})
+        labels["label"] = labels["entity"]
+        for _ in range(iters):
+            j = sym.merge(labels.rename(columns={"entity": "nbr"}), on="nbr")
+            j = j.assign(w=1)[["node", "label", "w"]]
+            upd = _lpa_mode(j)
+            labels = upd.rename(columns={"label_new": "label"})
+        return finish_table(labels.rename(columns={"label": "community"}))
+
+    sym = e0.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([t["a"].combine_chunks(),
+                                      t["b"].combine_chunks()]),
+            "nbr": pa.concat_arrays([t["b"].combine_chunks(),
+                                     t["a"].combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    labels = distinct_rows(
+        sym.map_batches(lambda t: pa.table({"entity": t["node"]}),
+                        batch_format="pyarrow"),
+        ["entity"], num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: t.append_column("label", t["entity"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        j = hash_join(
+            sym.map_batches(lambda t: t.rename_columns(["node", "entity"]),
+                            batch_format="pyarrow"),
+            labels, on="entity",
+        )
+
+        def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["node", "label"], as_index=False).size()
+            return g.rename(columns={"size": "w"})
+
+        labels = partition_reduce(
+            j.map_batches(count_partial, batch_format="pandas"),
+            ["node"], _lpa_mode, num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: t.rename_columns(["entity", "label"]),
+            batch_format="pyarrow",
+        ).materialize()
+
+    lab = collect_pandas(
+        labels.map_batches(
+            lambda t: t.rename_columns(["entity", "community"]),
+            batch_format="pyarrow"),
+        ["entity", "community"])
+    # community sizes are vocab-sized — the same driver-side finish the
+    # under-gate tier uses (labels table is O(V) by construction)
+    return finish_table(lab)

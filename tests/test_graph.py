@@ -457,3 +457,59 @@ class TestCoreness:
             for b in (1, 8)
         ]
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestLabelPropagation:
+    def _two_cliques(self):
+        # two K5 cliques joined by ONE bridge edge — same component,
+        # two dense communities
+        rows = []
+        for base in ("x", "y"):
+            for i in range(5):
+                for j in range(i + 1, 5):
+                    rows.append((f"{base}{i}", f"{base}{j}"))
+        rows.append(("x0", "y0"))  # bridge
+        return pd.DataFrame(rows, columns=["subject_id", "object_id"])
+
+    @pytest.mark.parametrize("tier", ["driver", "distributed"])
+    def test_two_cliques_two_communities(self, ray_session, tier):
+        import dataclasses
+
+        from docprocai_service_ray.config import KGConfig
+        from docprocai_service_ray.stages.graph import label_propagation
+
+        cfg = KGConfig()
+        if tier == "distributed":
+            cfg = dataclasses.replace(cfg, driver_unionfind_max=0)
+        got = label_propagation(
+            rd.from_pandas(self._two_cliques()).repartition(4),
+            iters=6, cfg=cfg).to_pandas()
+        by = got.set_index("entity")["community"]
+        x = {by[f"x{i}"] for i in range(1, 5)}
+        y = {by[f"y{i}"] for i in range(1, 5)}
+        assert len(x) == 1 and len(y) == 1 and x != y
+        sizes = got.set_index("entity")["community_size"]
+        assert (sizes >= 4).all()
+
+    def test_tiers_bit_equal(self, triples):
+        import dataclasses
+
+        from docprocai_service_ray.config import KGConfig
+        from docprocai_service_ray.stages.graph import label_propagation
+
+        a = label_propagation(triples, iters=4).to_pandas()
+        cfg0 = dataclasses.replace(KGConfig(), driver_unionfind_max=0)
+        b = label_propagation(triples, iters=4, cfg=cfg0).to_pandas()
+        pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                      b.reset_index(drop=True))
+
+    def test_parallelism_invariance(self, ray_session):
+        from docprocai_service_ray.stages.graph import label_propagation
+
+        df = _triples_df(seed=21, n=500, n_ent=60)
+        outs = [
+            label_propagation(rd.from_pandas(df).repartition(b),
+                              iters=5).to_pandas().reset_index(drop=True)
+            for b in (1, 8)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
