@@ -1089,6 +1089,157 @@ def _domain_scorecard(sf_dir: str):
                             ["domain"], final, num_partitions=8)
 
 
+def _corpus_datasheet(sf_dir: str):
+    """THE one-table corpus datasheet a data owner reads before a dump
+    ships (Gebru 2021 "Datasheets for Datasets" rolled up per source):
+    doc/token/char volume, language spread, exact-dup participation,
+    bad-word and PII exposure, mean quality — every signal an existing
+    audited stage computes, composed into ONE exchange. Per-batch
+    pre-agg emits three row kinds (scalar stats, (source, fp) dup
+    counts, (source, lang) distinct markers) stacked into one
+    source-keyed partition_reduce; fp rows are 16-byte hashes (the
+    exact_dedup discipline — dup detection inherently co-locates a
+    source's fingerprints). REAL-SQL-oracled end to end."""
+    import re as _re
+
+    import pandas as pd
+
+    from docprocai_service_ray.pipelines.benchqueries import _pq
+    from docprocai_service_ray.stages.lexgate import _hit_mask
+    from docprocai_service_ray.stages.pii import _COMPILED
+    from docprocai_service_ray.stages.textstats import (
+        fingerprint_md5,
+        quality_score,
+        token_counts,
+    )
+    from docprocai_service_ray.state.groupby import partition_reduce
+
+    ds = _pq(sf_dir, "documents",
+             ["doc_id", "text", "lang", "source", "n_chars"])
+    blocked = frozenset(_BLOCKWORDS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        pii = None
+        for rx in _COMPILED.values():
+            h = t.str.count(rx) > 0
+            pii = h if pii is None else (pii | h)
+        per = pd.DataFrame({
+            "source": df["source"],
+            "tok": token_counts(t),
+            "chars": df["n_chars"].astype("int64"),
+            "q": quality_score(t),
+            "flag": _hit_mask(t, blocked).astype("int64"),
+            "pii": pii.astype("int64"),
+            "lang": df["lang"],
+            "fp": fingerprint_md5(t),
+        })
+        stats = per.groupby("source", as_index=False).agg(
+            n=("tok", "size"), tok=("tok", "sum"), chars=("chars", "sum"),
+            q=("q", "sum"), flag=("flag", "sum"), pii=("pii", "sum"))
+        stats["kind"], stats["key"], stats["c"] = "s", "", 0
+        fps = per.groupby(["source", "fp"], as_index=False).size().rename(
+            columns={"size": "c", "fp": "key"})
+        fps["kind"] = "f"
+        langs = per[["source", "lang"]].drop_duplicates().rename(
+            columns={"lang": "key"})
+        langs["kind"], langs["c"] = "l", 0
+        cols = ["source", "kind", "key", "c", "n", "tok", "chars", "q",
+                "flag", "pii"]
+        for fr in (fps, langs):
+            for col in cols:
+                if col not in fr.columns:
+                    fr[col] = 0 if col not in ("kind", "key") else fr.get(col, "")
+        return pd.concat([stats[cols], fps[cols], langs[cols]],
+                         ignore_index=True)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        s = part[part["kind"] == "s"].groupby("source", as_index=False).agg(
+            n=("n", "sum"), tok=("tok", "sum"), chars=("chars", "sum"),
+            q=("q", "sum"), flag=("flag", "sum"), pii=("pii", "sum"))
+        f = part[part["kind"] == "f"].groupby(
+            ["source", "key"], as_index=False)["c"].sum()
+        dup = f[f["c"] >= 2].groupby("source")["c"].sum()
+        nl = part[part["kind"] == "l"].groupby(
+            "source")["key"].nunique()
+        return pd.DataFrame({
+            "source": s["source"],
+            "n_docs": s["n"].astype("int64"),
+            "n_tokens": s["tok"].astype("int64"),
+            "avg_chars": (s["chars"] / s["n"]).round(4),
+            "n_langs": s["source"].map(nl).fillna(0).astype("int64"),
+            "dup_docs": s["source"].map(dup).fillna(0).astype("int64"),
+            "flagged_docs": s["flag"].astype("int64"),
+            "pii_docs": s["pii"].astype("int64"),
+            "avg_quality": (s["q"] / s["n"]).round(4),
+        })
+
+    return partition_reduce(ds.map_batches(partial, batch_format="pandas"),
+                            ["source"], final, num_partitions=8)
+
+
+def _corpus_datasheet_sql() -> str:
+    from docprocai_service_ray.stages.pii import PII_PATTERNS
+    from docprocai_service_ray.stages.textstats import _STOPWORDS
+
+    word_re = "[a-zàâäéèêëîïôöùûüß]+"
+    en = _sql_list(_STOPWORDS["en"])
+    blocked = ", ".join(f"'{w}'" for w in sorted(_BLOCKWORDS))
+    any_pii = " OR ".join(f"regexp_matches(t, '{p}')"
+                          for p in PII_PATTERNS.values())
+    py_ws = r"[\t\n\x0b\f\r\x1c-\x1f\x85\p{Z}]+"
+    return f"""
+        WITH d AS (
+            SELECT source, lang, n_chars, coalesce(text, '') AS t,
+                   md5(coalesce(text, '')) AS fp
+            FROM documents
+        ), m AS (
+            SELECT source, lang, n_chars, fp,
+                   len(list_filter(regexp_split_to_array(t, '{py_ws}'),
+                                   x -> x <> '')) AS tok,
+                   length(t) AS n,
+                   len(regexp_extract_all(t, '[.!?,;:]'))::DOUBLE
+                       / greatest(length(t), 1) AS pr,
+                   len(list_filter(regexp_extract_all(lower(t), '{word_re}'),
+                                   x -> list_contains({en}, x)))::DOUBLE
+                       / greatest(len(regexp_extract_all(lower(t),
+                                                         '{word_re}')), 1)
+                       AS swr,
+                   len(list_filter(regexp_extract_all(lower(t), '[a-z]+'),
+                       w -> w IN ({blocked}))) > 0 AS hit,
+                   ({any_pii}) AS pii
+            FROM d
+        ), q AS (
+            SELECT *,
+                   ROUND(0.4::DOUBLE * (CASE WHEN n BETWEEN 50 AND 100000
+                                             THEN 1 ELSE 0 END)
+                       + 0.3::DOUBLE * (CASE WHEN pr > 0.0 AND pr < 0.2
+                                             THEN 1 ELSE 0 END)
+                       + 0.3::DOUBLE * (CASE WHEN swr > 0.02
+                                             THEN 1 ELSE 0 END), 6) AS qs
+            FROM m
+        ), dup AS (
+            SELECT source, CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0)
+                                AS BIGINT) AS dup_docs
+            FROM (SELECT source, fp, COUNT(*) AS c FROM q GROUP BY 1, 2)
+            GROUP BY 1
+        )
+        SELECT q.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS n_tokens,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               COUNT(DISTINCT lang) AS n_langs,
+               ANY_VALUE(dup.dup_docs) AS dup_docs,
+               CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS flagged_docs,
+               CAST(SUM(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pii_docs,
+               ROUND(AVG(qs), 4) AS avg_quality
+        FROM q JOIN dup ON dup.source = q.source
+        GROUP BY 1
+    """
+
+
 def _domain_scorecard_sql() -> str:
     from docprocai_service_ray.stages.domains import registrable_domain_sql
     from docprocai_service_ray.stages.textstats import _STOPWORDS
@@ -2569,6 +2720,7 @@ _PRIORITY_QUERIES = [
     "ann_projected_topk",
     "unigram_vocab",
     "entity_communities",
+    "corpus_datasheet",
     "taxonomy_by_source",
     "soft_dedup_by_source",
     "semantic_decontam_topk",
@@ -2658,6 +2810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_projected_topk": _ann_projected_topk,
             "dedup_threshold_profile": _dedup_threshold_profile,
             "domain_scorecard": _domain_scorecard,
+            "corpus_datasheet": _corpus_datasheet,
             "gopher_rules_by_source": _gopher_rules_by_source,
             "lang_mix_alpha": _lang_mix_alpha,
             "ann_indexed_topk": _ann_indexed_topk,
@@ -2984,6 +3137,7 @@ def oracle_sql() -> dict[str, str]:
     sql["corpus_diff_docs"] = corpus_diff_sql(
         _DIFF_OLD_SQL, _DIFF_NEW_SQL, "doc_id", "text")
     sql["domain_scorecard"] = _domain_scorecard_sql()
+    sql["corpus_datasheet"] = _corpus_datasheet_sql()
     from docprocai_service_ray.stages.gopher import gopher_rules_sql
 
     sql["gopher_rules_by_source"] = gopher_rules_sql(
